@@ -1,0 +1,52 @@
+"""Engine configuration.
+
+Mirrors the reference's Configuration (lib/json_schema/configuration.rb):
+``all_of_sub_errors``, ``validate_regex_with`` and a custom-format registry.
+In this engine a custom format registers BOTH a driver-side predicate
+(``fn(str) -> bool``, used by the compiler's local oracle and tests) and an
+optional Spark column builder (``col -> BooleanColumn``). When no column
+builder is given, the engine wraps the predicate in an Arrow-vectorized
+``pandas_udf(BooleanType)`` — batch transfer, never row-at-a-time Python UDFs
+(reference analog: configuration.rb:11-13, used at validator.rb:218-221).
+
+Engine-specific knobs:
+
+- ``max_unroll_depth``: static unrolling bound for cyclic ``$ref`` graphs in
+  the columnar compiler. The reference terminates on finite data depth
+  (validator.rb:41-57 keeps loop detection disabled); a static expression
+  compiler must bound recursion instead, so values nested deeper than this
+  validate vacuously true at the cut point (documented deviation).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+
+class Configuration:
+    def __init__(self):
+        self.reset()
+
+    def reset(self) -> None:
+        self.validate_regex_with: Optional[str] = None
+        self.custom_formats: dict = {}
+        self.custom_format_columns: dict = {}
+        self.all_of_sub_errors: bool = False
+        self.max_unroll_depth: int = 6
+
+    def register_format(
+        self,
+        name: str,
+        predicate: Callable[[str], bool],
+        column_builder: Optional[Callable] = None,
+    ) -> None:
+        self.custom_formats[name] = predicate
+        if column_builder is not None:
+            self.custom_format_columns[name] = column_builder
+
+
+_configuration = Configuration()
+
+
+def configuration() -> Configuration:
+    return _configuration
