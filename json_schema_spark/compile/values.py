@@ -1,0 +1,388 @@
+"""Value accessors: a uniform interface over the two physical encodings a
+JSON value can have in a DataFrame. All methods emit Spark SQL expression
+*text* (see sqlgen.py) built from Catalyst built-ins only — the hot path
+never crosses into Python.
+
+- ``VariantValue``: open-shape documents stored as Spark VARIANT
+  (``parse_json``). JSON type tags come from ``schema_of_variant`` per row;
+  SQL NULL means *absent*, a variant-null means JSON ``null`` — exactly the
+  absent-vs-null distinction the reference relies on
+  (validator.rb:496-518; SURVEY.md §7.3).
+- ``TypedValue``: schema-declared columns (e.g. the interleaved ``spans``
+  table). JSON types resolve statically against the Spark DataType, so most
+  type dispatch constant-folds at compile time and dead keyword groups are
+  pruned; SQL NULL means JSON null (structs cannot represent absence —
+  documented deviation).
+"""
+
+from __future__ import annotations
+
+import json as _json
+from typing import Union
+
+from pyspark.sql import types as T
+
+from .sqlgen import fn, iff, or_all, sql_str
+
+BoolLike = Union[str, bool]
+
+JSON_TYPES = ["array", "boolean", "integer", "null", "number", "object", "string"]
+
+
+class Value:
+    """Interface; see VariantValue / TypedValue."""
+
+    expr: str
+
+    def is_type(self, json_type: str) -> BoolLike:
+        raise NotImplementedError
+
+    def could_be(self, json_type: str) -> bool:
+        """Static reachability: False when this value can never have the
+        given JSON type (lets the compiler prune whole keyword groups)."""
+        raise NotImplementedError
+
+    def as_string(self) -> str:
+        raise NotImplementedError
+
+    def as_double(self) -> str:
+        raise NotImplementedError
+
+    def array_elements(self) -> str:
+        raise NotImplementedError
+
+    def wrap_element(self, elem_expr: str) -> "Value":
+        raise NotImplementedError
+
+    def object_map(self) -> str:
+        raise NotImplementedError
+
+    def object_keys(self) -> str:
+        raise NotImplementedError
+
+    def has_property(self, key: str) -> BoolLike:
+        raise NotImplementedError
+
+    def get_property(self, key: str) -> "Value":
+        raise NotImplementedError
+
+    def wrap_map_value(self, value_expr: str) -> "Value":
+        raise NotImplementedError
+
+    def render_to_s(self) -> str:
+        raise NotImplementedError
+
+    def render_inspect(self) -> str:
+        raise NotImplementedError
+
+    def eq_literal(self, literal) -> str:
+        raise NotImplementedError
+
+    def canonical_json(self) -> str:
+        """A string rendering usable for deep-equality comparisons."""
+        raise NotImplementedError
+
+
+def _ruby_num_string(decimal_expr: str, is_integer: BoolLike) -> str:
+    """Render a numeric value the way Ruby #to_s would: integers bare, floats
+    always with a decimal point (``4.0`` not ``4``, ``0.005`` intact)."""
+    s = fn("cast", f"{decimal_expr} as string")
+    trimmed = fn("regexp_replace", fn("regexp_replace", s, sql_str(r"(\.\d*?)0+$"), sql_str("$1")),
+                 sql_str(r"\.$"), sql_str(""))
+    as_int = fn("regexp_replace", s, sql_str(r"\.0+$"), sql_str(""))
+    with_point = iff(f"contains({trimmed}, '.')", trimmed, f"concat({trimmed}, '.0')")
+    if is_integer is True:
+        return as_int
+    if is_integer is False:
+        return with_point
+    return iff(is_integer, as_int, with_point)
+
+
+class VariantValue(Value):
+    def __init__(self, expr: str, in_lambda: bool = False):
+        # SQL scalar functions cannot be invoked on lambda variables (the
+        # inlined Project loses resolution), so values rooted at a
+        # higher-order-function variable inline their render bodies instead.
+        self.expr = expr
+        self.in_lambda = in_lambda
+
+    def _tag(self) -> str:
+        return fn("schema_of_variant", self.expr)
+
+    def is_type(self, json_type: str) -> str:
+        t = self._tag()
+        if json_type == "string":
+            return f"({t} = 'STRING')"
+        if json_type == "boolean":
+            return f"({t} = 'BOOLEAN')"
+        if json_type == "null":
+            return f"({t} = 'VOID')"
+        if json_type == "integer":
+            # JSON integers parse as BIGINT; huge ones become DECIMAL(p,0).
+            # A literal like `4.0` also lands on DECIMAL(1,0) — the reference
+            # treats it as a Float (non-integer); we accept DECIMAL only when
+            # the JSON text carries no '.', matching Ruby's Integer/Float split.
+            return (f"(({t} = 'BIGINT') OR (startswith({t}, 'DECIMAL') AND NOT contains(to_json({self.expr}), '.')))")
+        if json_type == "number":
+            return (f"(({t} = 'BIGINT') OR startswith({t}, 'DECIMAL') OR ({t} = 'DOUBLE') OR ({t} = 'FLOAT'))")
+        if json_type == "array":
+            return f"startswith({t}, 'ARRAY')"
+        if json_type == "object":
+            return f"(startswith({t}, 'OBJECT') OR startswith({t}, 'STRUCT'))"
+        if json_type == "any":
+            return "true"
+        raise ValueError(f"unknown JSON type {json_type}")
+
+    def could_be(self, json_type: str) -> bool:
+        return True
+
+    def as_string(self) -> str:
+        return fn("try_variant_get", self.expr, "'$'", "'string'")
+
+    def as_double(self) -> str:
+        return fn("try_variant_get", self.expr, "'$'", "'double'")
+
+    def as_decimal(self) -> str:
+        return fn("try_variant_get", self.expr, "'$'", "'decimal(38,12)'")
+
+    def array_elements(self) -> str:
+        return fn("try_variant_get", self.expr, "'$'", "'array<variant>'")
+
+    def wrap_element(self, elem_expr: str) -> "VariantValue":
+        return VariantValue(elem_expr, in_lambda=True)
+
+    def object_map(self) -> str:
+        return fn("try_variant_get", self.expr, "'$'", "'map<string,variant>'")
+
+    def object_keys(self) -> str:
+        return fn("map_keys", self.object_map())
+
+    def has_property(self, key: str) -> str:
+        return f"coalesce(map_contains_key({self.object_map()}, {sql_str(key)}), false)"
+
+    def get_property(self, key: str) -> "VariantValue":
+        return VariantValue(fn("element_at", self.object_map(), sql_str(key)),
+                            in_lambda=self.in_lambda)
+
+    def wrap_map_value(self, value_expr: str) -> "VariantValue":
+        return VariantValue(value_expr, in_lambda=True)
+
+    def render_to_s(self) -> str:
+        # defined once per session as a SQL scalar function (see
+        # variant_sql_udf_ddl) — keeps compiled constraint text small
+        if self.in_lambda:
+            return self.render_to_s_body()
+        return f"jss_to_s({self.expr})"
+
+    def render_inspect(self) -> str:
+        if self.in_lambda:
+            return self.render_inspect_body()
+        return f"jss_inspect({self.expr})"
+
+    def render_to_s_body(self) -> str:
+        t = self._tag()
+        return (
+            f"(CASE WHEN {t} = 'VOID' THEN ''"
+            f" WHEN {t} = 'STRING' THEN {self.as_string()}"
+            f" WHEN {t} = 'BOOLEAN' THEN {self.as_string()}"
+            f" WHEN {t} = 'BIGINT' THEN cast({self.expr} as string)"
+            f" WHEN startswith({t}, 'DECIMAL') OR {t} = 'DOUBLE' OR {t} = 'FLOAT'"
+            f" THEN {_ruby_num_string(self.as_decimal(), self.is_type('integer'))}"
+            f" ELSE {self.render_inspect_body()} END)"
+        )
+
+    def render_inspect_body(self) -> str:
+        t = self._tag()
+        composite = _rubyish_json(fn("to_json", self.expr))
+        return (
+            f"(CASE WHEN {t} = 'VOID' THEN 'nil'"
+            f" WHEN {t} = 'STRING' THEN to_json({self.expr})"  # JSON escaping ≈ Ruby inspect
+            f" WHEN {t} = 'BOOLEAN' THEN {self.as_string()}"
+            f" WHEN {t} = 'BIGINT' THEN cast({self.expr} as string)"
+            f" WHEN startswith({t}, 'DECIMAL') OR {t} = 'DOUBLE' OR {t} = 'FLOAT'"
+            f" THEN {_ruby_num_string(self.as_decimal(), self.is_type('integer'))}"
+            f" ELSE {composite} END)"
+        )
+
+    def eq_literal(self, literal) -> str:
+        # Deep equality via the JSON rendering of the variant. Numeric
+        # literals normalize trailing ".0" the same way to_json does
+        # (to_json(variant 4.0) == "4"), matching Ruby's 4 == 4.0.
+        if isinstance(literal, float) and literal == int(literal) and abs(literal) < 1e15:
+            canon = _json.dumps(int(literal))
+        elif isinstance(literal, float):
+            canon = repr(literal)
+        else:
+            canon = _json.dumps(literal, ensure_ascii=False, separators=(",", ":"))
+        return f"coalesce(to_json({self.expr}) = {sql_str(canon)}, false)"
+
+    def canonical_json(self) -> str:
+        return fn("to_json", self.expr)
+
+
+def variant_sql_udf_ddl() -> list:
+    """CREATE TEMPORARY FUNCTION statements for the variant rendering helpers
+    (registered once per session by the engine; Spark inlines them during
+    analysis, so the hot path stays pure Catalyst)."""
+    v = VariantValue("v")
+    return [
+        "CREATE OR REPLACE TEMPORARY FUNCTION jss_inspect(v VARIANT) RETURNS STRING RETURN "
+        + v.render_inspect_body(),
+        "CREATE OR REPLACE TEMPORARY FUNCTION jss_to_s(v VARIANT) RETURNS STRING RETURN "
+        + v.render_to_s_body(),
+    ]
+
+
+def _rubyish_json(json_expr: str) -> str:
+    """Approximate Ruby #inspect for composite values from their JSON text:
+    `{"a":1,"b":2}` → `{"a"=>1, "b"=>2}`. Exact for values whose strings
+    contain no '":' or ',' sequences; documented approximation."""
+    step = fn("regexp_replace", json_expr, sql_str('":'), sql_str('"=>'))
+    return fn("regexp_replace", step, sql_str(r",(?=\S)"), sql_str(", "))
+
+
+_NUMERIC_TYPES = (T.DoubleType, T.FloatType, T.DecimalType)
+_INTEGRAL_TYPES = (T.LongType, T.IntegerType, T.ShortType, T.ByteType)
+
+
+class TypedValue(Value):
+    def __init__(self, expr: str, dtype: T.DataType):
+        self.expr = expr
+        self.dtype = dtype
+
+    def _kind(self) -> str:
+        d = self.dtype
+        if isinstance(d, T.StringType):
+            return "string"
+        if isinstance(d, T.BooleanType):
+            return "boolean"
+        if isinstance(d, _INTEGRAL_TYPES):
+            return "integer"
+        if isinstance(d, _NUMERIC_TYPES):
+            return "number"
+        if isinstance(d, T.ArrayType):
+            return "array"
+        if isinstance(d, (T.StructType, T.MapType)):
+            return "object"
+        if isinstance(d, (T.DateType, T.TimestampType)):
+            return "string"
+        raise TypeError(f"unsupported column type for validation: {d}")
+
+    def is_type(self, json_type: str) -> BoolLike:
+        kind = self._kind()
+        if json_type == "any":
+            return True
+        if json_type == "null":
+            return f"({self.expr} IS NULL)"
+        if json_type == kind or (json_type == "number" and kind == "integer"):
+            return f"({self.expr} IS NOT NULL)"
+        return False
+
+    def could_be(self, json_type: str) -> bool:
+        return self.is_type(json_type) is not False
+
+    def as_string(self) -> str:
+        if isinstance(self.dtype, T.StringType):
+            return self.expr
+        return fn("cast", f"{self.expr} as string")
+
+    def as_double(self) -> str:
+        return fn("cast", f"{self.expr} as double")
+
+    def as_decimal(self) -> str:
+        return fn("cast", f"{self.expr} as decimal(38,12)")
+
+    def array_elements(self) -> str:
+        return self.expr
+
+    def wrap_element(self, elem_expr: str) -> "TypedValue":
+        assert isinstance(self.dtype, T.ArrayType)
+        return TypedValue(elem_expr, self.dtype.elementType)
+
+    def object_map(self) -> str:
+        if isinstance(self.dtype, T.MapType):
+            return self.expr
+        assert isinstance(self.dtype, T.StructType)
+        # struct → entries for the fields that are present (non-null)
+        entries = ", ".join(
+            iff(f"({self.expr}.{_q(f.name)} IS NOT NULL)",
+                fn("named_struct", "'key'", sql_str(f.name), "'value'",
+                   fn("cast", f"{self.expr}.{_q(f.name)} as string")),
+                "null")
+            for f in self.dtype.fields
+        )
+        return fn("map_from_entries", fn("filter", f"array({entries})", "e -> e IS NOT NULL"))
+
+    def object_keys(self) -> str:
+        if isinstance(self.dtype, T.MapType):
+            return fn("map_keys", self.expr)
+        names = ", ".join(
+            iff(f"({self.expr}.{_q(f.name)} IS NOT NULL)", sql_str(f.name), "null")
+            for f in self.dtype.fields
+        )
+        return fn("filter", f"array({names})", "k -> k IS NOT NULL")
+
+    def has_property(self, key: str) -> BoolLike:
+        if isinstance(self.dtype, T.MapType):
+            return f"coalesce(map_contains_key({self.expr}, {sql_str(key)}), false)"
+        if key in self.dtype.fieldNames():
+            return f"({self.expr}.{_q(key)} IS NOT NULL)"
+        return False
+
+    def get_property(self, key: str) -> "Value":
+        if isinstance(self.dtype, T.MapType):
+            return TypedValue(fn("element_at", self.expr, sql_str(key)), self.dtype.valueType)
+        if key in self.dtype.fieldNames():
+            ftype = {f.name: f.dataType for f in self.dtype.fields}[key]
+            return TypedValue(f"{self.expr}.{_q(key)}", ftype)
+        return TypedValue("cast(null as string)", T.StringType())
+
+    def wrap_map_value(self, value_expr: str) -> "Value":
+        assert isinstance(self.dtype, T.MapType)
+        return TypedValue(value_expr, self.dtype.valueType)
+
+    def render_to_s(self) -> str:
+        kind = self._kind()
+        if kind == "number":
+            return iff(f"({self.expr} IS NULL)", "''",
+                       _ruby_num_string(self.as_decimal(), False))
+        return f"coalesce(cast({self.expr} as string), '')"
+
+    def render_inspect(self) -> str:
+        kind = self._kind()
+        if kind == "string":
+            j = fn("to_json", f"named_struct('v', {self.expr})")
+            return iff(f"({self.expr} IS NULL)", "'nil'",
+                       f"substring({j}, 6, length({j}) - 6)")
+        if kind == "number":
+            return iff(f"({self.expr} IS NULL)", "'nil'",
+                       _ruby_num_string(self.as_decimal(), False))
+        return iff(f"({self.expr} IS NULL)", "'nil'", fn("cast", f"{self.expr} as string"))
+
+    def eq_literal(self, literal) -> str:
+        kind = self._kind()
+        if literal is None:
+            return f"({self.expr} IS NULL)"
+        if isinstance(literal, bool):
+            if kind != "boolean":
+                return "false"
+            return f"coalesce({self.expr} = {str(literal).lower()}, false)"
+        if isinstance(literal, (int, float)):
+            if kind not in ("integer", "number"):
+                return "false"
+            return f"coalesce({self.expr} = {literal!r}, false)"
+        if isinstance(literal, str):
+            if kind != "string":
+                return "false"
+            return f"coalesce({self.expr} = {sql_str(literal)}, false)"
+        return f"coalesce(to_json({self.expr}) = {sql_str(_json.dumps(literal, separators=(',', ':')))}, false)"
+
+    def canonical_json(self) -> str:
+        if self._kind() in ("array", "object"):
+            return fn("to_json", self.expr)
+        return fn("cast", f"{self.expr} as string")
+
+
+def _q(name: str) -> str:
+    """Quote a field name for SQL dotted access."""
+    return f"`{name}`" if not name.isidentifier() else name
