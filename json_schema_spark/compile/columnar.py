@@ -315,12 +315,14 @@ class ColumnarCompiler:
             x, i = self._fresh("x"), self._fresh("i")
             child = self._node(schema.items, value.wrap_element(x),
                                concat(path, "'/'", f"cast({i} as string)"), stack)
-            errors = _flatten_errors(fn("transform", elems, f"({x}, {i}) -> {child.errors}"))
+            if child.valid == "true" and child.errors == EMPTY_ERRORS:
+                return TRIVIAL
+            errors = (EMPTY_ERRORS if child.errors == EMPTY_ERRORS else
+                      _flatten_errors(fn("transform", elems, f"({x}, {i}) -> {child.errors}")))
             ok = self._fresh("ok")
-            valid = fn("forall",
-                       fn("transform", elems, f"({x}, {i}) -> {child.valid}"),
-                       f"{ok} -> {ok}")
-            return Compiled(f"coalesce({valid}, true)", errors)
+            valid = ("true" if child.valid == "true" else
+                     f"coalesce({fn('forall', fn('transform', elems, f'({x}, {i}) -> {child.valid}'), f'{ok} -> {ok}')}, true)")
+            return Compiled(valid, errors)
 
         # tuple form (validator.rb:257-289)
         n = len(schema.tuple_items)
@@ -348,15 +350,16 @@ class ColumnarCompiler:
             x, i = self._fresh("x"), self._fresh("i")
             child = self._node(additional, value.wrap_element(x),
                                concat(path, "'/'", f"cast({i} as string)"), stack)
-            extra_errors = _flatten_errors(fn(
-                "transform", elems,
-                f"({x}, {i}) -> " + iff(f"({i} >= {n})", child.errors, EMPTY_ERRORS)))
-            ok = self._fresh("ok")
-            extra_valid = fn("forall",
-                             fn("transform", elems, f"({x}, {i}) -> (({i} < {n}) OR {child.valid})"),
-                             f"{ok} -> {ok}")
-            parts.append(_guard(f"(NOT {too_few})",
-                                Compiled(f"coalesce({extra_valid}, true)", extra_errors)))
+            if not (child.valid == "true" and child.errors == EMPTY_ERRORS):
+                extra_errors = (EMPTY_ERRORS if child.errors == EMPTY_ERRORS else
+                                _flatten_errors(fn(
+                                    "transform", elems,
+                                    f"({x}, {i}) -> " + iff(f"({i} >= {n})", child.errors, EMPTY_ERRORS))))
+                ok = self._fresh("ok")
+                extra_valid = ("true" if child.valid == "true" else
+                               f"coalesce({fn('forall', fn('transform', elems, f'({x}, {i}) -> (({i} < {n}) OR {child.valid})'), f'{ok} -> {ok}')}, true)")
+                parts.append(_guard(f"(NOT {too_few})",
+                                    Compiled(extra_valid, extra_errors)))
 
         pos_parts: List[Optional[Compiled]] = []
         for idx, sub in enumerate(schema.tuple_items):
@@ -468,9 +471,13 @@ class ColumnarCompiler:
                        f"{e} -> {self._extra_keys_filter(schema, f'{e}.key')}")
             child = self._node(ap, value.wrap_map_value(f"{e}.value"),
                                concat(path, "'/'", f"{e}.key"), stack)
-            errors = _flatten_errors(fn("transform", extra, f"{e} -> {child.errors}"))
-            valid = fn("forall", extra, f"{e} -> {child.valid}")
-            return Compiled(f"coalesce({valid}, true)", errors)
+            if child.valid == "true" and child.errors == EMPTY_ERRORS:
+                return TRIVIAL
+            errors = (EMPTY_ERRORS if child.errors == EMPTY_ERRORS else
+                      _flatten_errors(fn("transform", extra, f"{e} -> {child.errors}")))
+            valid = ("true" if child.valid == "true" else
+                     f"coalesce({fn('forall', extra, f'{e} -> {child.valid}')}, true)")
+            return Compiled(valid, errors)
         if ap is False:
             return self._validate_extra(schema, value, path)
         return TRIVIAL
@@ -522,9 +529,13 @@ class ColumnarCompiler:
             matching = fn("filter", entries, f"{e} -> ({e}.key RLIKE {sql_str(java)})")
             child = self._node(sub, value.wrap_map_value(f"{e}.value"),
                                concat(path, "'/'", f"{e}.key"), stack)
-            errors = _flatten_errors(fn("transform", matching, f"{e} -> {child.errors}"))
-            valid = fn("forall", matching, f"{e} -> {child.valid}")
-            parts.append(Compiled(f"coalesce({valid}, true)", errors))
+            if child.valid == "true" and child.errors == EMPTY_ERRORS:
+                continue
+            errors = (EMPTY_ERRORS if child.errors == EMPTY_ERRORS else
+                      _flatten_errors(fn("transform", matching, f"{e} -> {child.errors}")))
+            valid = ("true" if child.valid == "true" else
+                     f"coalesce({fn('forall', matching, f'{e} -> {child.valid}')}, true)")
+            parts.append(Compiled(valid, errors))
         return parts
 
     def _properties_parts(self, schema: SchemaNode, value: Value, path: str,

@@ -25,21 +25,22 @@ from pyspark.sql import Column, functions as F, types as T
 
 from ..config import configuration
 
-# reference regex constants (validator.rb:590-604) in Java dialect.
-# (?m) mirrors Ruby's always-multiline ^/$; (?i) where the Ruby regex had /i.
-EMAIL_JAVA = r"(?im)^[A-Z0-9._%+-]+@[A-Z0-9.-]+\.[A-Z]+$"
+# reference regex constants (validator.rb:590-604) in Java dialect;
+# (?i) where the Ruby regex had /i (anchors stay ECMA-style, see
+# regex_translate.py for the multiline rationale).
+EMAIL_JAVA = r"(?i)^[A-Z0-9._%+-]+@[A-Z0-9.-]+\.[A-Z]+$"
 HOSTNAME_JAVA = (
-    r"(?m)^(?=.{1,255}$)[0-9A-Za-z](?:(?:[0-9A-Za-z]|-){0,61}[0-9A-Za-z])?"
+    r"^(?=.{1,255}$)[0-9A-Za-z](?:(?:[0-9A-Za-z]|-){0,61}[0-9A-Za-z])?"
     r"(?:\.[0-9A-Za-z](?:(?:[0-9A-Za-z]|-){0,61}[0-9A-Za-z])?)*\.?$"
 )
-DATE_JAVA = r"(?m)^[0-9]{4}-[0-9]{2}-[0-9]{2}$"
+DATE_JAVA = r"^[0-9]{4}-[0-9]{2}-[0-9]{2}$"
 DATE_TIME_JAVA = (
-    r"(?m)^[0-9]{4}-[0-9]{2}-[0-9]{2}T[0-2][0-9]:[0-5][0-9]:[0-5][0-9]"
+    r"^[0-9]{4}-[0-9]{2}-[0-9]{2}T[0-2][0-9]:[0-5][0-9]:[0-5][0-9]"
     r"(\.[0-9]+)?(Z|[\-+][0-9]{2}:[0-5][0-9])$"
 )
-IPV4_JAVA = r"(?m)^((25[0-5]|(2[0-4]|1{0,1}[0-9]){0,1}[0-9])\.){3,3}(25[0-5]|(2[0-4]|1{0,1}[0-9]){0,1}[0-9])$"
+IPV4_JAVA = r"^((25[0-5]|(2[0-4]|1{0,1}[0-9]){0,1}[0-9])\.){3,3}(25[0-5]|(2[0-4]|1{0,1}[0-9]){0,1}[0-9])$"
 IPV6_JAVA = (
-    r"(?m)^(([0-9a-fA-F]{1,4}:){7,7}[0-9a-fA-F]{1,4}|([0-9a-fA-F]{1,4}:){1,7}:|"
+    r"^(([0-9a-fA-F]{1,4}:){7,7}[0-9a-fA-F]{1,4}|([0-9a-fA-F]{1,4}:){1,7}:|"
     r"([0-9a-fA-F]{1,4}:){1,6}:[0-9a-fA-F]{1,4}|([0-9a-fA-F]{1,4}:){1,5}(:[0-9a-fA-F]{1,4}){1,2}|"
     r"([0-9a-fA-F]{1,4}:){1,4}(:[0-9a-fA-F]{1,4}){1,3}|([0-9a-fA-F]{1,4}:){1,3}(:[0-9a-fA-F]{1,4}){1,4}|"
     r"([0-9a-fA-F]{1,4}:){1,2}(:[0-9a-fA-F]{1,4}){1,5}|[0-9a-fA-F]{1,4}:((:[0-9a-fA-F]{1,4}){1,6})|"
@@ -47,7 +48,7 @@ IPV6_JAVA = (
     r"::(ffff(:0{1,4}){0,1}:){0,1}((25[0-5]|(2[0-4]|1{0,1}[0-9]){0,1}[0-9]).){3,3}"
     r"(25[0-5]|(2[0-4]|1{0,1}[0-9]){0,1}[0-9])|([0-9a-fA-F]{1,4}:){1,4}:)$"
 )
-UUID_JAVA = r"(?m)^[a-f0-9]{8}-[a-f0-9]{4}-[a-f0-9]{4}-[a-f0-9]{4}-[a-f0-9]{12}$"
+UUID_JAVA = r"^[a-f0-9]{8}-[a-f0-9]{4}-[a-f0-9]{4}-[a-f0-9]{4}-[a-f0-9]{12}$"
 
 # strict RFC-3986 URI-reference (scheme optional → relative refs allowed),
 # matching Ruby URI.parse acceptance on the reference's test corpus
@@ -164,10 +165,8 @@ def format_check_python(fmt: str, data: str) -> Optional[bool]:
     if fmt in java_to_py:
         pattern = java_to_py[fmt]
         flags = 0
-        if pattern.startswith("(?im)"):
-            pattern, flags = pattern[5:], re.I | re.M
-        elif pattern.startswith("(?m)"):
-            pattern, flags = pattern[4:], re.M
+        if pattern.startswith("(?i)"):
+            pattern, flags = pattern[4:], re.I
         if re.search(pattern, data, flags) is None:
             return False
         if fmt == "date":

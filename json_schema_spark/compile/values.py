@@ -118,11 +118,13 @@ class VariantValue(Value):
         if json_type == "null":
             return f"({t} = 'VOID')"
         if json_type == "integer":
-            # JSON integers parse as BIGINT; huge ones become DECIMAL(p,0).
-            # A literal like `4.0` also lands on DECIMAL(1,0) — the reference
-            # treats it as a Float (non-integer); we accept DECIMAL only when
-            # the JSON text carries no '.', matching Ruby's Integer/Float split.
-            return (f"(({t} = 'BIGINT') OR (startswith({t}, 'DECIMAL') AND NOT contains(to_json({self.expr}), '.')))")
+            # JSON integers parse as BIGINT. parse_json normalizes `4.0` to
+            # DECIMAL(1,0) and `to_json` re-renders it as "4", so the decimal
+            # tag is the only remaining signal that the literal had a decimal
+            # point — DECIMAL is therefore always "number", never "integer"
+            # (Ruby: 4.0 is a Float). Integers beyond int64 (DECIMAL(>19,0))
+            # misclassify as number; documented deviation.
+            return f"({t} = 'BIGINT')"
         if json_type == "number":
             return (f"(({t} = 'BIGINT') OR startswith({t}, 'DECIMAL') OR ({t} = 'DOUBLE') OR ({t} = 'FLOAT'))")
         if json_type == "array":

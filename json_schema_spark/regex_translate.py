@@ -5,9 +5,12 @@ The reference compiles schema patterns as Ruby regexes and matches
 under ``rlike`` is also unanchored, so no anchoring shim is needed. Two real
 dialect gaps are handled at compile time (SURVEY.md §7.3):
 
-- Ruby ``^``/``$`` are always line anchors; Java needs ``(?m)``. Every
-  translated pattern is prefixed with ``(?m)`` so verdicts match the
-  reference on multi-line data.
+- Ruby ``^``/``$`` are always line anchors; ECMA-262 (which draft-4
+  mandates) anchors to input start/end. We keep the ECMA/Java default — no
+  ``(?m)`` — because Spark's RLIKE mishandles ``(?m)^$`` on empty strings
+  (observed: ``'' RLIKE '(?m)^$'`` is false) and the spec semantics are the
+  defensible choice; verdicts differ from the Ruby reference only for data
+  containing embedded newlines (documented deviation).
 - POSIX classes and Ruby-only escapes are rewritten or rejected at compile
   time (the analog of the reference's opt-in ECMA check, parser.rb:248-257).
 """
@@ -53,7 +56,7 @@ def translate_regex(source: str, check_only: bool = False) -> Tuple[bool, Option
         return False, None
     if check_only:
         return True, None
-    return True, "(?m)" + out
+    return True, out
 
 
 def is_ecma262(source: str) -> bool:
