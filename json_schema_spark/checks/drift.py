@@ -1,0 +1,90 @@
+"""Distribution drift: KS statistic and PSI between two corpora (epochs,
+partitions, or any two DataFrames of the same column).
+
+Per north_rule/north_star: drift runs over *sketched per-partition
+histograms merged centrally* — each side is one aggregation pass producing a
+fixed-size histogram (map-side partial merge), the driver compares two small
+arrays. No row ever crosses the wire.
+
+- Histograms: fixed equi-width bins over the reference side's [min, max]
+  (one extra underflow/overflow bin each side) via ``width_bucket``.
+- KS: max |CDF_a - CDF_b| over the shared bin grid (exact as bins → ∞; with
+  256 bins the error is bounded by the largest single-bin mass).
+- PSI: Σ (p_i − q_i) · ln(p_i / q_i) with ε-clipping for empty bins.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import List, Tuple
+
+from pyspark.sql import DataFrame, functions as F
+
+EPS = 1e-6
+
+
+def _histogram(df: DataFrame, col: str, lo: float, hi: float, bins: int) -> List[int]:
+    """Counts per bucket 0..bins+1 (0 = underflow, bins+1 = overflow).
+    One groupBy over ≤ bins+2 keys — partial agg makes this a constant-size
+    shuffle."""
+    bucket = F.width_bucket(F.col(col).cast("double"), F.lit(lo), F.lit(hi), F.lit(bins))
+    rows = (
+        df.where(F.col(col).isNotNull())
+        .groupBy(bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    counts = [0] * (bins + 2)
+    for r in rows:
+        counts[int(r["bucket"])] += int(r["n"])
+    return counts
+
+
+def _bounds(df: DataFrame, col: str) -> Tuple[float, float]:
+    row = df.agg(F.min(F.col(col).cast("double")).alias("lo"),
+                 F.max(F.col(col).cast("double")).alias("hi")).collect()[0]
+    lo, hi = row["lo"], row["hi"]
+    if lo is None:
+        return 0.0, 1.0
+    if lo == hi:
+        hi = lo + 1.0
+    return float(lo), float(hi)
+
+
+def drift_report(reference: DataFrame, current: DataFrame, col: str,
+                 bins: int = 256) -> dict:
+    """KS + PSI of ``col`` between a reference corpus and a current one."""
+    lo, hi = _bounds(reference, col)
+    h_ref = _histogram(reference, col, lo, hi, bins)
+    h_cur = _histogram(current, col, lo, hi, bins)
+    n_ref = sum(h_ref) or 1
+    n_cur = sum(h_cur) or 1
+
+    ks = 0.0
+    cdf_r = cdf_c = 0.0
+    psi = 0.0
+    for i in range(len(h_ref)):
+        p = h_ref[i] / n_ref
+        q = h_cur[i] / n_cur
+        cdf_r += p
+        cdf_c += q
+        ks = max(ks, abs(cdf_r - cdf_c))
+        p_c, q_c = max(p, EPS), max(q, EPS)
+        psi += (p_c - q_c) * math.log(p_c / q_c)
+
+    return {
+        "column": col,
+        "bins": bins,
+        "lo": lo,
+        "hi": hi,
+        "n_reference": n_ref,
+        "n_current": n_cur,
+        "ks_statistic": ks,
+        "psi": psi,
+    }
+
+
+def ks_critical_value(n_ref: int, n_cur: int, alpha: float = 0.05) -> float:
+    """Two-sample KS critical value (asymptotic)."""
+    c = math.sqrt(-0.5 * math.log(alpha / 2.0))
+    return c * math.sqrt((n_ref + n_cur) / (n_ref * n_cur))
