@@ -1,38 +1,533 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` smoke-runs the flagship typed validation; ``queries()``
+exposes one entry per implemented operator (SURVEY.md §2 + the
+training-data-pipeline extensions); ``oracle_sql()`` gives the DuckDB
+equivalent for every SQL-expressible entry.
+
+Cross-engine determinism rules used throughout:
+- floats are rounded on BOTH sides (means r6, ratios r6, cosines r6);
+- similarity math is integer-quantized so dot products/norms are exact;
+- hashes are md5-based (identical in Spark and DuckDB);
+- timestamps are compared as epoch seconds.
+Entries with engine-specific hashing (xxhash64) or driver-merged sketches
+have no oracle → the driver records the weaker rows-only check.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from json_schema_spark.checks import (column_stats, drift_report,
+                                      duplicate_keys)
+from json_schema_spark.engine import ValidationEngine
+from json_schema_spark.pipeline import dedup, similarity, text as text_ops
+
+# ---------------------------------------------------------------------------
+
+DOCUMENTS_SCHEMA = {
+    "$schema": "http://json-schema.org/draft-04/schema#",
+    "title": "oracle documents table",
+    "type": ["object"],
+    "required": ["doc_id", "text"],
+    "properties": {
+        "doc_id": {"type": ["integer"], "minimum": 0},
+        "text": {"type": ["string"], "minLength": 50, "maxLength": 500},
+        "lang": {"enum": ["de", "en", "es", "fr", "zh"]},
+        "source": {"type": ["string"], "pattern": "^src[0-9]+$"},
+        "n_chars": {"type": ["integer"], "minimum": 0, "maximum": 10000},
+    },
+}
+
+PROPS_SCHEMA = {
+    "$schema": "http://json-schema.org/draft-04/schema#",
+    "type": ["object"],
+    "required": ["k"],
+    "properties": {"k": {"type": ["integer"], "minimum": 0, "maximum": 80}},
+}
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: compile the documents schema once, validate the corpus,
+    emit violation rows (doc_id, path, error_type, schema_pointer, message)."""
+    docs = _t(spark, "/root/testdata/sf0.001", "documents")
+    engine = ValidationEngine(spark)
+    result = engine.validate_typed(docs, DOCUMENTS_SCHEMA, id_cols=["doc_id"])
+    return result.violations
+
+
+# --- query implementations --------------------------------------------------
+
+
+def q_validate_verdicts(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    res = ValidationEngine(spark).validate_typed(docs, DOCUMENTS_SCHEMA, id_cols=["doc_id"])
+    return res.annotated.select("doc_id", "is_valid")
+
+
+def q_validate_violations(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    res = ValidationEngine(spark).validate_typed(docs, DOCUMENTS_SCHEMA, id_cols=["doc_id"])
+    return res.violations.select("doc_id", "path", "error_type")
+
+
+def q_validate_props_json(spark, sf_dir):
+    events = _t(spark, sf_dir, "events")
+    res = ValidationEngine(spark).validate_json(events, "props", PROPS_SCHEMA,
+                                                id_cols=["event_id"])
+    return res.annotated.select("event_id", "is_valid")
+
+
+def q_validation_summary(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    res = ValidationEngine(spark).validate_typed(docs, DOCUMENTS_SCHEMA, id_cols=["doc_id"])
+    return (res.violations.groupBy("path", "error_type")
+            .agg(F.count(F.lit(1)).alias("n_violations")))
+
+
+def q_duplicate_line_orders(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return duplicate_keys(li, "l_orderkey")
+
+
+def q_customers_without_orders(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+def q_lineitem_stats(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    stats = column_stats(li, ["l_quantity", "l_extendedprice"])
+    return stats.select(
+        "column", "count", "nulls",
+        F.round("mean", 6).alias("mean_r6"),
+        F.col("min").cast("double").alias("min_v"),
+        F.col("max").cast("double").alias("max_v"),
+    )
+
+
+def q_pricing_summary(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def q_top_customers_per_segment(spark, sf_dir):
+    from pyspark.sql import Window
+
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    spend = (
+        o.groupBy("o_custkey").agg(F.round(F.sum("o_totalprice"), 2).alias("spend"))
+        .join(F.broadcast(c), F.col("o_custkey") == c.c_custkey)
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy(F.col("spend").desc(), F.col("c_custkey"))
+    return (
+        spend.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .select("c_mktsegment", "rank", "c_custkey", "spend")
+    )
+
+
+def q_revenue_by_nation(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+             F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+def q_user_sessions(spark, sf_dir):
+    from pyspark.sql import Window
+
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.lag(F.unix_timestamp("ts")).over(w)
+    return (
+        e.withColumn("new_session", F.when(gap.isNull() | (gap > 3600), 1).otherwise(0))
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.sum("new_session").alias("n_sessions"))
+    )
+
+
+def q_event_windows(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    win = F.window("ts", "5 minutes")
+    return (
+        e.groupBy(win.alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .select(F.unix_timestamp("w.start").alias("bucket_start"), "event_type", "n", "sum_value")
+    )
+
+
+def q_token_counts(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", text_ops.token_count(F.col("text")).alias("n_tokens"))
+
+
+def q_quality_scores(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    q = text_ops.quality_features(d)
+    return q.select(
+        "doc_id", "n_tokens",
+        F.round("avg_token_len", 6).alias("avg_token_len_r6"),
+        F.round("stopword_ratio", 6).alias("stopword_ratio_r6"),
+    )
+
+
+def q_lang_distribution(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return (d.groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.round(F.avg("n_chars"), 6).alias("avg_chars_r6")))
+
+
+def q_lang_id(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", text_ops.lang_id(F.col("text")).alias("lang_pred"))
+
+
+def q_doc_fingerprints(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", text_ops.fingerprint(F.col("text")).alias("fp"))
+
+
+def q_exact_dup_clusters(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return dedup.exact_duplicates(d)
+
+
+def q_minhash_signatures(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    sigs = dedup.minhash_signatures(d, n=3, num_hashes=4)
+    return sigs.select(
+        "doc_id",
+        F.posexplode("sig").alias("perm", "minhash"),
+    ).select("doc_id", "perm", "minhash")
+
+
+def q_jaccard_pairs(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    pairs = dedup.jaccard_pairs(d, n=3, threshold=0.2)
+    return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard_r6"))
+
+
+def q_knn_cosine(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 20)
+    out = similarity.cosine_topk(emb, k=5, queries=queries)
+    return out.select("query_id", "neighbor_id", "rank",
+                      F.round("cosine", 6).alias("cosine_r6"))
+
+
+# --- engine-specific entries (no SQL oracle → rows-only check) ---------------
+
+
+def q_lsh_topk(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.lsh_topk(emb, k=5, planes=6)
+
+
+def q_minhash_lsh_candidates(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_candidates(d, n=3, num_hashes=8, bands=4)
+
+
+def q_simhash(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return dedup.simhash(d)
+
+
+def q_drift_events(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    ref = e.where(F.col("event_type") == "click").select("value")
+    cur = e.where(F.col("event_type") == "purchase").select("value")
+    rep = drift_report(ref, cur, "value", bins=64)
+    return spark.createDataFrame(
+        [(rep["column"], rep["n_reference"], rep["n_current"],
+          round(rep["ks_statistic"], 6), round(rep["psi"], 6))],
+        "column string, n_reference long, n_current long, ks double, psi double",
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "validate_verdicts": q_validate_verdicts,
+        "validate_violations": q_validate_violations,
+        "validate_props_json": q_validate_props_json,
+        "validation_summary": q_validation_summary,
+        "duplicate_line_orders": q_duplicate_line_orders,
+        "customers_without_orders": q_customers_without_orders,
+        "lineitem_stats": q_lineitem_stats,
+        "pricing_summary": q_pricing_summary,
+        "top_customers_per_segment": q_top_customers_per_segment,
+        "revenue_by_nation": q_revenue_by_nation,
+        "user_sessions": q_user_sessions,
+        "event_windows": q_event_windows,
+        "token_counts": q_token_counts,
+        "quality_scores": q_quality_scores,
+        "lang_distribution": q_lang_distribution,
+        "lang_id": q_lang_id,
+        "doc_fingerprints": q_doc_fingerprints,
+        "exact_dup_clusters": q_exact_dup_clusters,
+        "minhash_signatures": q_minhash_signatures,
+        "jaccard_pairs": q_jaccard_pairs,
+        "knn_cosine": q_knn_cosine,
+        "lsh_topk": q_lsh_topk,
+        "minhash_lsh_candidates": q_minhash_lsh_candidates,
+        "simhash": q_simhash,
+        "drift_events": q_drift_events,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# --- DuckDB oracles -----------------------------------------------------------
+
+_VALID_COND = """(
+    doc_id >= 0
+    AND length(text) >= 50 AND length(text) <= 500
+    AND lang IN ('de','en','es','fr','zh')
+    AND regexp_matches(source, '^src[0-9]+$')
+    AND n_chars >= 0 AND n_chars <= 10000
+)"""
+
+_TOKENS = "regexp_split_to_array(trim(text), '\\s+')"
+
+_LANG_HITS = {
+    "en": "['the','a','of','and','to']",
+    "de": "['der','die','und','das','ist']",
+    "es": "['el','la','de','que','y']",
+    "fr": "['le','la','et','les','des']",
+}
+
+_MINHASH_PERMS = "(VALUES (0, 1299721, 7), (1, 15485863, 11), (2, 32452843, 13), (3, 49979687, 17)) AS perms(perm, a, b)"
+
+_SHINGLES_CTE = f"""
+toks AS (
+    SELECT doc_id, {_TOKENS} AS l FROM documents
+),
+sh AS (
+    SELECT DISTINCT doc_id, array_to_string(l[i:i+2], ' ') AS shingle
+    FROM toks, LATERAL (SELECT unnest(generate_series(1, len(l) - 2)) AS i) idx
+)
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "validate_verdicts": f"SELECT doc_id, {_VALID_COND} AS is_valid FROM documents",
+        "validate_violations": """
+            SELECT doc_id, '#/text' AS path, 'min_length_failed' AS error_type
+              FROM documents WHERE length(text) < 50
+            UNION ALL
+            SELECT doc_id, '#/text', 'max_length_failed' FROM documents WHERE length(text) > 500
+            UNION ALL
+            SELECT doc_id, '#/lang', 'invalid_type' FROM documents
+             WHERE lang NOT IN ('de','en','es','fr','zh')
+            UNION ALL
+            SELECT doc_id, '#/source', 'pattern_failed' FROM documents
+             WHERE NOT regexp_matches(source, '^src[0-9]+$')
+            UNION ALL
+            SELECT doc_id, '#/n_chars', 'min_failed' FROM documents WHERE n_chars < 0
+            UNION ALL
+            SELECT doc_id, '#/n_chars', 'max_failed' FROM documents WHERE n_chars > 10000
+            UNION ALL
+            SELECT doc_id, '#/doc_id', 'min_failed' FROM documents WHERE doc_id < 0
+        """,
+        "validate_props_json": """
+            SELECT event_id,
+                   (CAST(json_extract_string(props, '$.k') AS BIGINT) >= 0
+                    AND CAST(json_extract_string(props, '$.k') AS BIGINT) <= 80) AS is_valid
+            FROM events
+        """,
+        "validation_summary": """
+            SELECT path, error_type, count(*) AS n_violations FROM (
+                SELECT doc_id, '#/text' AS path, 'min_length_failed' AS error_type
+                  FROM documents WHERE length(text) < 50
+                UNION ALL
+                SELECT doc_id, '#/text', 'max_length_failed' FROM documents WHERE length(text) > 500
+            ) GROUP BY path, error_type
+        """,
+        "duplicate_line_orders": """
+            SELECT l_orderkey, count(*) AS dup_count FROM lineitem
+            GROUP BY l_orderkey HAVING count(*) > 1
+        """,
+        "customers_without_orders": """
+            SELECT c_custkey, c_name FROM customer
+            WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+        """,
+        "lineitem_stats": """
+            SELECT 'l_quantity' AS "column", count(*) AS count,
+                   sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS nulls,
+                   round(avg(l_quantity), 6) AS mean_r6,
+                   min(l_quantity) AS min_v, max(l_quantity) AS max_v
+            FROM lineitem
+            UNION ALL
+            SELECT 'l_extendedprice', count(*),
+                   sum(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END),
+                   round(avg(l_extendedprice), 6),
+                   min(l_extendedprice), max(l_extendedprice)
+            FROM lineitem
+        """,
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "top_customers_per_segment": """
+            WITH spend AS (
+                SELECT o_custkey, round(sum(o_totalprice), 2) AS spend
+                FROM orders GROUP BY o_custkey
+            ), ranked AS (
+                SELECT c.c_mktsegment, c.c_custkey, s.spend,
+                       row_number() OVER (PARTITION BY c.c_mktsegment
+                                          ORDER BY s.spend DESC, c.c_custkey) AS rank
+                FROM spend s JOIN customer c ON s.o_custkey = c.c_custkey
+            )
+            SELECT c_mktsegment, rank, c_custkey, spend FROM ranked WHERE rank <= 3
+        """,
+        "revenue_by_nation": """
+            SELECT n.n_name, round(sum(o.o_totalprice), 2) AS revenue,
+                   count(*) AS n_orders
+            FROM orders o
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            GROUP BY n.n_name
+        """,
+        "user_sessions": """
+            WITH g AS (
+                SELECT user_id,
+                       epoch(ts) - lag(epoch(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+                FROM events
+            )
+            SELECT user_id, count(*) AS n_events,
+                   sum(CASE WHEN gap IS NULL OR gap > 3600 THEN 1 ELSE 0 END) AS n_sessions
+            FROM g GROUP BY user_id
+        """,
+        "event_windows": """
+            SELECT CAST(floor(epoch(ts) / 300) * 300 AS BIGINT) AS bucket_start,
+                   event_type, count(*) AS n, round(sum(value), 4) AS sum_value
+            FROM events GROUP BY 1, 2
+        """,
+        "token_counts": f"SELECT doc_id, len({_TOKENS}) AS n_tokens FROM documents",
+        "quality_scores": f"""
+            WITH t AS (SELECT doc_id, {_TOKENS} AS l FROM documents)
+            SELECT doc_id, len(l) AS n_tokens,
+                   round(CAST(list_sum(list_transform(l, x -> length(x))) AS DOUBLE)
+                         / CAST(len(l) AS DOUBLE), 6) AS avg_token_len_r6,
+                   round(CAST(len(list_filter(l, x -> list_contains(
+                         ['the','a','of','and','to','in','is'], lower(x)))) AS DOUBLE)
+                         / CAST(len(l) AS DOUBLE), 6) AS stopword_ratio_r6
+            FROM t
+        """,
+        "lang_distribution": """
+            SELECT lang, count(*) AS n_docs, round(avg(n_chars), 6) AS avg_chars_r6
+            FROM documents GROUP BY lang
+        """,
+        "lang_id": f"""
+            WITH t AS (SELECT doc_id, {_TOKENS} AS l FROM documents),
+            s AS (
+                SELECT doc_id,
+                       len(list_filter(l, x -> list_contains({_LANG_HITS['en']}, lower(x)))) AS h_en,
+                       len(list_filter(l, x -> list_contains({_LANG_HITS['de']}, lower(x)))) AS h_de,
+                       len(list_filter(l, x -> list_contains({_LANG_HITS['es']}, lower(x)))) AS h_es,
+                       len(list_filter(l, x -> list_contains({_LANG_HITS['fr']}, lower(x)))) AS h_fr
+                FROM t
+            )
+            SELECT doc_id,
+                   CASE WHEN greatest(h_en, h_de, h_es, h_fr) = 0 THEN 'und'
+                        WHEN h_fr = greatest(h_en, h_de, h_es, h_fr) THEN 'fr'
+                        WHEN h_es = greatest(h_en, h_de, h_es, h_fr) THEN 'es'
+                        WHEN h_en = greatest(h_en, h_de, h_es, h_fr) THEN 'en'
+                        ELSE 'de' END AS lang_pred
+            FROM s
+        """,
+        "doc_fingerprints": """
+            SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+            FROM documents
+        """,
+        "exact_dup_clusters": """
+            SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,
+                   count(*) AS n_docs, min(doc_id) AS keep_id
+            FROM documents GROUP BY 1 HAVING count(*) > 1
+        """,
+        "minhash_signatures": f"""
+            WITH {_SHINGLES_CTE},
+            h AS (
+                SELECT doc_id,
+                       CAST(concat('0x', substr(md5(shingle), 1, 15)) AS BIGINT)
+                           % 2147483647 AS hv
+                FROM sh
+            )
+            SELECT doc_id, perm, min((a * hv + b) % 2147483647) AS minhash
+            FROM h, {_MINHASH_PERMS}
+            GROUP BY doc_id, perm
+        """,
+        "jaccard_pairs": f"""
+            WITH {_SHINGLES_CTE},
+            sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+            common AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+                FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                GROUP BY a.doc_id, b.doc_id
+            )
+            SELECT id_a, id_b,
+                   round(CAST(common AS DOUBLE)
+                         / CAST(sa.n_sh + sb.n_sh - common AS DOUBLE), 6) AS jaccard_r6
+            FROM common
+            JOIN sizes sa ON sa.doc_id = id_a
+            JOIN sizes sb ON sb.doc_id = id_b
+            WHERE CAST(common AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - common AS DOUBLE) >= 0.2
+        """,
+        "knn_cosine": """
+            WITH qv AS (
+                SELECT vec_id AS query_id,
+                       list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+                FROM embeddings WHERE vec_id < 20
+            ), nv AS (
+                SELECT vec_id AS neighbor_id,
+                       list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+                FROM embeddings
+            ), scored AS (
+                SELECT q.query_id, n.neighbor_id,
+                       CAST(list_sum(list_transform(range(1, len(q.v) + 1),
+                            i -> q.v[i] * n.v[i])) AS DOUBLE)
+                       / sqrt(CAST(list_sum(list_transform(q.v, x -> x * x))
+                              * list_sum(list_transform(n.v, x -> x * x)) AS DOUBLE)) AS cosine
+                FROM qv q CROSS JOIN nv n
+                WHERE q.query_id <> n.neighbor_id
+            ), ranked AS (
+                SELECT query_id, neighbor_id, cosine,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY cosine DESC, neighbor_id) AS rank
+                FROM scored
+            )
+            SELECT query_id, neighbor_id, rank, round(cosine, 6) AS cosine_r6
+            FROM ranked WHERE rank <= 5
+        """,
+    }

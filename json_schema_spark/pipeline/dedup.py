@@ -1,0 +1,192 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash.
+
+Scale design:
+
+- Exact dedup: hash-groupBy on a fingerprint — one shuffle keyed on the
+  digest; partial aggregation compresses duplicate clusters map-side.
+- N-gram Jaccard: shingle-join. Explode word n-grams, self-join on shingle,
+  count common shingles per pair, compute |A∩B| / (|A|+|B|−|A∩B|) from
+  exact integer counts. The shingle join is the scale hazard (hot shingles
+  → quadratic pairs); ``max_shingle_freq`` drops ubiquitous shingles first
+  — the standard frequency cut that bounds join fan-out.
+- MinHash: k independent permutations min-folded over shingle hashes —
+  one pass, fixed-size signature per doc; LSH bands hash-grouped so only
+  same-bucket docs are pair-joined. Hashing uses md5-derived 60-bit
+  integers so the DuckDB oracle can reproduce signatures bit-for-bit.
+- SimHash: sign-aggregated bit fingerprint over token hashes; hamming
+  distance via bit_count(xor).
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+from pyspark.sql import DataFrame, functions as F
+
+from .text import fingerprint, tokens
+
+# Mersenne prime 2^61-1: the classic universal-hash modulus; md5-prefix
+# integers are < 2^60 so a*h+b stays in unsigned 127-bit — but to keep the
+# arithmetic portable (DuckDB BIGINT is signed 64-bit) we use a smaller
+# prime and reduce the hash first.
+_P = 2_147_483_647  # 2^31 - 1
+_MINHASH_COEFFS = [(a, b) for a, b in
+                   [(1299721, 7), (15485863, 11), (32452843, 13), (49979687, 17),
+                    (67867967, 19), (86028121, 23), (104395301, 29), (122949823, 31)]]
+
+
+def md5_int(col: F.Column) -> F.Column:
+    """Portable 60-bit integer hash: the first 15 hex chars of md5.
+    Identical in any engine with md5 + hex parsing."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
+
+
+def exact_duplicates(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """(fingerprint, n_docs, keep_id): one row per duplicate cluster."""
+    return (
+        df.select(fingerprint(F.col(text_col)).alias("fp"), F.col(id_col))
+        .groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min(id_col).alias("keep_id"))
+        .where(F.col("n_docs") > 1)
+    )
+
+
+def dedup_exact(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Keep the min-id representative of each exact-duplicate cluster.
+    Window-free: groupBy(fp).min(id) then semi-join — no skewed sort."""
+    keep = (
+        df.select(fingerprint(F.col(text_col)).alias("fp"), F.col(id_col))
+        .groupBy("fp").agg(F.min(id_col).alias(id_col))
+    )
+    return df.join(keep.select(id_col), id_col, "left_semi")
+
+
+def shingles(df: DataFrame, n: int = 3, text_col: str = "text",
+             id_col: str = "doc_id") -> DataFrame:
+    """Distinct word n-gram shingles per document: (id, shingle)."""
+    toks = tokens(F.col(text_col))
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - n),
+        lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+    )
+    return (
+        df.select(F.col(id_col), F.explode(F.array_distinct(grams)).alias("shingle"))
+    )
+
+
+def jaccard_pairs(df: DataFrame, n: int = 3, threshold: float = 0.5,
+                  text_col: str = "text", id_col: str = "doc_id",
+                  max_shingle_freq: Optional[int] = None) -> DataFrame:
+    """(id_a, id_b, jaccard) for pairs above threshold, id_a < id_b.
+    Exact integer set arithmetic → deterministic across engines."""
+    sh = shingles(df, n, text_col, id_col)
+    if max_shingle_freq is not None:
+        freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("f"))
+        sh = sh.join(F.broadcast(freq.where(F.col("f") <= max_shingle_freq).select("shingle")),
+                     "shingle", "left_semi")
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    common = (
+        a.join(b, "shingle")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("nb"))
+    return (
+        common.join(sa, "id_a").join(sb, "id_b")
+        .withColumn("jaccard",
+                    F.col("common").cast("double")
+                    / (F.col("na") + F.col("nb") - F.col("common")).cast("double"))
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def minhash_signatures(df: DataFrame, n: int = 3, num_hashes: int = 8,
+                       text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(id, sig: array<bigint>) MinHash signatures over word n-gram shingles.
+    One aggregation pass: min per permutation, map-side combined."""
+    assert num_hashes <= len(_MINHASH_COEFFS)
+    sh = shingles(df, n, text_col, id_col)
+    h = F.pmod(md5_int(F.col("shingle")), F.lit(_P))
+    mins = [
+        F.min(F.pmod(F.lit(a) * h + F.lit(b), F.lit(_P))).alias(f"h{i}")
+        for i, (a, b) in enumerate(_MINHASH_COEFFS[:num_hashes])
+    ]
+    agg = sh.groupBy(id_col).agg(*mins)
+    return agg.select(
+        id_col,
+        F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig"),
+    )
+
+
+def minhash_lsh_candidates(df: DataFrame, n: int = 3, num_hashes: int = 8,
+                           bands: int = 4, text_col: str = "text",
+                           id_col: str = "doc_id") -> DataFrame:
+    """Candidate near-dup pairs via LSH banding: docs sharing any band
+    bucket. Join fans out per-bucket, not per-corpus — the scale path."""
+    assert num_hashes % bands == 0
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(df, n, num_hashes, text_col, id_col)
+    banded = sigs.select(
+        id_col,
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(bi).alias("band"),
+                F.array_join(
+                    F.transform(
+                        F.slice("sig", bi * rows_per_band + 1, rows_per_band),
+                        lambda x: x.cast("string")),
+                    "_",
+                ).alias("bucket"),
+            )
+            for bi in range(bands)
+        ])).alias("bb"),
+    ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    l = banded.select(F.col(id_col).alias("id_a"), "band", "bucket")
+    r = banded.select(F.col(id_col).alias("id_b"), "band", "bucket")
+    return (
+        l.join(r, ["band", "bucket"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def simhash(df: DataFrame, bits: int = 64, text_col: str = "text",
+            id_col: str = "doc_id") -> DataFrame:
+    """(id, simhash: bigint) sign-aggregated token-hash fingerprint."""
+    toks = F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("tok")
+    per_tok = df.select(F.col(id_col), toks).withColumn("h", F.xxhash64("tok"))
+    # sum the ±1 contribution of each token per bit, then take signs
+    bit_sums = per_tok.groupBy(id_col).agg(*[
+        F.sum(F.when(F.shiftright("h", b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)).alias(f"b{b}")
+        for b in range(bits)
+    ])
+    sig = None
+    for b in range(bits):
+        contrib = F.when(F.col(f"b{b}") > 0,
+                         F.shiftleft(F.lit(1).cast("bigint"), b)).otherwise(F.lit(0).cast("bigint"))
+        sig = contrib if sig is None else sig.bitwiseOR(contrib)
+    return bit_sums.select(id_col, sig.alias("simhash"))
+
+
+def simhash_near_pairs(df: DataFrame, max_hamming: int = 8,
+                       text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance (brute pair join — use
+    band-prefix buckets for the scale path)."""
+    sigs = simhash(df, 64, text_col, id_col)
+    a = sigs.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sa"))
+    b = sigs.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("sb"))
+    return (
+        a.crossJoin(b)
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn("hamming", F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))))
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

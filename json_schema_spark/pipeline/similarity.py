@@ -1,0 +1,123 @@
+"""Similarity search over embedding columns (array<float>).
+
+- ``cosine_topk``: brute-force exact top-k — the correctness baseline.
+  Embeddings are integer-quantized (round(x·Q)) so dot products and norms
+  are *exact integer arithmetic*: bit-identical across engines (the DuckDB
+  oracle reproduces them), and immune to float summation-order differences.
+  The final score is one double division of exact integers — deterministic
+  IEEE in any engine.
+- ``lsh_topk``: random-hyperplane LSH buckets → candidate join → exact
+  re-rank. The scale path: the pair join fans out per bucket instead of
+  per corpus (O(n²/2^bits) expected).
+
+Scale notes: brute force is an O(n²) crossJoin — correct but only for
+calibration subsets; at 10^9 vectors use lsh_topk (bucket join) and raise
+``planes`` until bucket sizes bound the fan-out.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def quantize(col: F.Column, q: int = 1000) -> F.Column:
+    """array<float> → array<bigint> with round(x·q)."""
+    return F.transform(col, lambda x: F.round(x.cast("double") * q).cast("bigint"))
+
+
+def _dot(a: F.Column, b: F.Column) -> F.Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0).cast("bigint"), lambda acc, x: acc + x)
+
+
+def cosine_topk(embeddings: DataFrame, k: int = 5,
+                id_col: str = "vec_id", vec_col: str = "embedding",
+                queries: Optional[DataFrame] = None, q: int = 1000) -> DataFrame:
+    """(query_id, neighbor_id, rank, cosine) — exact top-k by quantized
+    cosine. ``queries`` defaults to the corpus itself (self-join, excluding
+    self matches)."""
+    base = embeddings.select(
+        F.col(id_col).alias("neighbor_id"),
+        quantize(F.col(vec_col), q).alias("nv"),
+    ).withColumn("nn", _dot(F.col("nv"), F.col("nv")))
+    qdf = (queries or embeddings).select(
+        F.col(id_col).alias("query_id"),
+        quantize(F.col(vec_col), q).alias("qv"),
+    ).withColumn("qq", _dot(F.col("qv"), F.col("qv")))
+
+    scored = (
+        qdf.crossJoin(F.broadcast(base))
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "cosine",
+            _dot(F.col("qv"), F.col("nv")).cast("double")
+            / F.sqrt((F.col("qq") * F.col("nn")).cast("double")),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )
+
+
+def hyperplane_buckets(embeddings: DataFrame, planes: int = 8,
+                       id_col: str = "vec_id", vec_col: str = "embedding",
+                       seed: int = 42) -> DataFrame:
+    """(id, bucket) random-hyperplane LSH signature. Hyperplane components
+    are deterministic ±1 derived from xxhash64(plane, dim) — no driver-side
+    randomness, reproducible at any parallelism."""
+    dims = F.size(F.col(vec_col))
+    bits = []
+    for p in range(planes):
+        proj = F.aggregate(
+            F.zip_with(
+                F.col(vec_col),
+                F.sequence(F.lit(0), dims - 1),
+                lambda x, i: x.cast("double")
+                * F.when(F.pmod(F.xxhash64(F.lit(seed), F.lit(p), i), 2) == 0, 1.0).otherwise(-1.0),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bits.append(F.when(proj >= 0, F.lit("1")).otherwise(F.lit("0")))
+    return embeddings.select(F.col(id_col), F.concat(*bits).alias("bucket"),
+                             F.col(vec_col))
+
+
+def lsh_topk(embeddings: DataFrame, k: int = 5, planes: int = 8,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             q: int = 1000, seed: int = 42) -> DataFrame:
+    """Approximate top-k: candidates restricted to the same hyperplane
+    bucket, re-ranked by exact quantized cosine."""
+    b = hyperplane_buckets(embeddings, planes, id_col, vec_col, seed)
+    left = b.select(F.col(id_col).alias("query_id"), F.col("bucket"),
+                    quantize(F.col(vec_col), q).alias("qv"))
+    right = b.select(F.col(id_col).alias("neighbor_id"), F.col("bucket"),
+                     quantize(F.col(vec_col), q).alias("nv"))
+    cand = (
+        left.join(right, "bucket")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("qq", _dot(F.col("qv"), F.col("qv")))
+        .withColumn("nn", _dot(F.col("nv"), F.col("nv")))
+        .withColumn(
+            "cosine",
+            _dot(F.col("qv"), F.col("nv")).cast("double")
+            / F.sqrt((F.col("qq") * F.col("nn")).cast("double")),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )
