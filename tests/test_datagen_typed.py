@@ -98,6 +98,18 @@ def test_verdicts_rollup(spark, docs):
     assert all(r["docs"] == r["valid_docs"] + r["invalid_docs"] for r in verdicts)
 
 
+def test_verdict_only_mode_agrees(spark, docs):
+    """verdict_only (fail-fast analog) and full mode give identical verdicts."""
+    engine = ValidationEngine(spark)
+    schema = documents_json_schema(CFG)
+    full = engine.validate_typed(docs, schema, id_cols=["doc_id"])
+    fast = engine.validate_typed(docs, schema, id_cols=["doc_id"], verdict_only=True)
+    f = full.annotated.select(F.col("doc_id").alias("id"), F.col("is_valid").alias("fv"))
+    v = fast.annotated.select(F.col("doc_id").alias("id"), F.col("is_valid").alias("vv"))
+    assert f.join(v, "id").where(F.col("fv") != F.col("vv")).count() == 0
+    assert fast.counts()["valid_docs"] == full.counts()["valid_docs"]
+
+
 def test_span_sequence_invariant(spark, docs):
     engine = ValidationEngine(spark)
     result = engine.validate_typed(docs, documents_json_schema(CFG), id_cols=["doc_id"])

@@ -1,0 +1,64 @@
+"""Resume correctness: a killed run continues without re-validating
+completed buckets, and the merged result equals a single-shot run."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from json_schema_spark.datagen import (DocGenConfig, documents_json_schema,
+                                       generate_documents)
+from json_schema_spark.engine import ValidationEngine
+from json_schema_spark.manifest import RunManifest, validate_resumable
+
+CFG = DocGenConfig(n_docs=1000, seed=5, bad_kind_rate=0.05, partitions=4)
+
+
+@pytest.fixture()
+def docs(spark):
+    return generate_documents(spark, CFG)
+
+
+def test_resume_after_crash(spark, docs, tmp_path):
+    schema = documents_json_schema(CFG)
+    manifest_path = str(tmp_path / "manifest")
+    violations_path = str(tmp_path / "violations")
+
+    # run 1: crash after 4 of 8 buckets
+    with pytest.raises(RuntimeError, match="injected failure"):
+        validate_resumable(spark, docs, schema, manifest_path, violations_path,
+                           n_buckets=8, buckets_per_commit=2, fail_after_buckets=4)
+
+    manifest = RunManifest(spark, manifest_path)
+    done_before = manifest.completed_buckets()
+    assert len(done_before) == 4
+
+    # run 2: resumes, skips the 4 completed buckets
+    run = validate_resumable(spark, docs, schema, manifest_path, violations_path,
+                             n_buckets=8, buckets_per_commit=2)
+    assert sorted(run.skipped_buckets) == done_before
+    assert sorted(run.processed_buckets + run.skipped_buckets) == list(range(8))
+
+    # merged manifest covers every row exactly once
+    summary = manifest.summary()
+    assert summary["buckets"] == 8
+    assert summary["rows"] == CFG.n_docs
+
+    # violations equal the single-shot engine run
+    direct = ValidationEngine(spark).validate_typed(docs, schema, id_cols=["doc_id"])
+    expected = direct.violations.select("doc_id", "path", "error_type").sort("doc_id", "path")
+    actual = (spark.read.parquet(violations_path)
+              .select("doc_id", "path", "error_type").sort("doc_id", "path"))
+    assert [tuple(r) for r in actual.collect()] == [tuple(r) for r in expected.collect()]
+    assert summary["violations"] == direct.violations.count()
+
+
+def test_clean_run_then_noop_rerun(spark, docs, tmp_path):
+    schema = documents_json_schema(CFG)
+    manifest_path = str(tmp_path / "m2")
+    violations_path = str(tmp_path / "v2")
+    run1 = validate_resumable(spark, docs, schema, manifest_path, violations_path,
+                              n_buckets=4, buckets_per_commit=4)
+    assert len(run1.processed_buckets) == 4
+    run2 = validate_resumable(spark, docs, schema, manifest_path, violations_path,
+                              n_buckets=4, buckets_per_commit=4)
+    assert run2.processed_buckets == []
+    assert sorted(run2.skipped_buckets) == list(range(4))

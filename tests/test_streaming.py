@@ -1,0 +1,59 @@
+"""Streaming validation: parquet source → memory sink, driven to completion
+synchronously (processAllAvailable) per the local smoke pattern."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from json_schema_spark.datagen import (DocGenConfig, documents_json_schema,
+                                       generate_documents)
+from json_schema_spark.engine import ValidationEngine
+from json_schema_spark.streaming import streaming_verdicts, validate_stream
+from json_schema_spark.streaming.validate_stream import streaming_violations
+
+CFG = DocGenConfig(n_docs=500, seed=9, bad_kind_rate=0.05, partitions=4)
+
+
+@pytest.fixture()
+def docs_path(spark, tmp_path):
+    path = str(tmp_path / "docs")
+    docs = generate_documents(spark, CFG).withColumn(
+        "ts", F.timestamp_seconds(F.lit(1_700_000_000) + F.xxhash64("doc_id") % 3600))
+    docs.write.parquet(path)
+    return path
+
+
+def test_streaming_violations_and_verdicts(spark, docs_path):
+    engine = ValidationEngine(spark)
+    schema = documents_json_schema(CFG)
+    static = spark.read.parquet(docs_path)
+
+    stream = (spark.readStream.schema(static.schema).parquet(docs_path))
+    annotated = validate_stream(engine, stream.drop("ts"), schema, id_cols=["doc_id"])
+    # re-attach ts for the windowed rollup
+    annotated_ts = validate_stream(engine, stream, schema, id_cols=["doc_id"])
+
+    viol_q = (streaming_violations(annotated, ["doc_id"])
+              .writeStream.format("memory").queryName("viol_out")
+              .outputMode("append").start())
+    verd_q = (streaming_verdicts(annotated_ts, "ts", "10 minutes", "20 minutes")
+              .writeStream.format("memory").queryName("verd_out")
+              .outputMode("append").start())
+    try:
+        viol_q.processAllAvailable()
+        verd_q.processAllAvailable()
+
+        stream_viols = spark.sql("SELECT doc_id, path, error_type FROM viol_out")
+        batch = engine.validate_typed(static.drop("ts"), schema, id_cols=["doc_id"])
+        batch_viols = batch.violations.select("doc_id", "path", "error_type")
+        assert stream_viols.exceptAll(batch_viols).count() == 0
+        assert batch_viols.exceptAll(stream_viols).count() == 0
+
+        # append-mode windowed verdicts only emit closed windows; totals
+        # must never exceed the corpus and each row must be consistent
+        verd = spark.sql("SELECT * FROM verd_out").collect()
+        assert sum(r["docs"] for r in verd) <= CFG.n_docs
+        for r in verd:
+            assert r["valid_docs"] <= r["docs"]
+    finally:
+        viol_q.stop()
+        verd_q.stop()
