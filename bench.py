@@ -31,7 +31,7 @@ import time
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-BENCH_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "2000000"))
+BENCH_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "20000000"))
 BENCH_PASSES = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3"))
 CORPUS_DIR = os.environ.get("SPARK_GRAFT_BENCH_CORPUS",
                             f"/tmp/jss_bench_corpus_{BENCH_DOCS}")
@@ -100,24 +100,33 @@ def time_validation(spark) -> dict:
 
     t0 = time.time()
     result = engine.validate_typed(docs, schema, id_cols=["doc_id"])
-    verdicts_df = result.verdicts
+    annotated = result.annotated
     compile_s = time.time() - t0
 
+    # Steady-state passes write to the noop sink: full recompute of every
+    # column, no shuffle in the plan — so Spark's shuffle-file reuse can't
+    # short-circuit the scan+validate work between passes.
     t0 = time.time()
-    verdicts = verdicts_df.collect()  # analysis + whole-stage codegen + pass 0
+    annotated.write.format("noop").mode("overwrite").save()  # analysis+codegen+pass 0
     first_pass_s = time.time() - t0
 
-    t0 = time.time()
+    # min-of-passes: the sandbox is a shared host with bursty CPU steal, so
+    # the minimum is the faithful steady-state estimator
+    passes = []
     for _ in range(BENCH_PASSES):
-        verdicts = verdicts_df.collect()
-    steady_s = (time.time() - t0) / BENCH_PASSES
+        t0 = time.time()
+        annotated.write.format("noop").mode("overwrite").save()
+        passes.append(time.time() - t0)
+    steady_s = min(passes)
 
+    verdicts = result.verdicts.collect()
     n_docs = sum(r["docs"] for r in verdicts)
     return {
         "docs": n_docs,
         "invalid_docs": sum(r["invalid_docs"] for r in verdicts),
         "compile_seconds": round(compile_s, 3),
         "first_pass_seconds": round(first_pass_s, 3),
+        "pass_seconds": [round(x, 2) for x in passes],
         "seconds": round(steady_s, 3),
         "docs_per_sec": round(n_docs / steady_s, 1),
     }
@@ -136,14 +145,22 @@ def run_queries(spark) -> dict:
     return timings
 
 
-def scaling_measurement() -> dict:
-    """Identical validation job at two parallelism levels, fresh JVMs."""
-    lo_cpus, hi_cpus = 8, min(32, CPUS if CPUS >= 16 else 32)
+def scaling_measurement(hi_result: dict = None) -> dict:
+    """Identical validation job at two parallelism levels (N vs 4N cores),
+    fresh JVM for the low level; the in-process measurement is reused for
+    the high level when CPUS matches."""
+    lo_cpus, hi_cpus = 8, 32
+    env = dict(os.environ,
+               SPARK_GRAFT_BENCH_DOCS=str(BENCH_DOCS),
+               SPARK_GRAFT_BENCH_CORPUS=CORPUS_DIR)
     out = {}
     for cpus in (lo_cpus, hi_cpus):
+        if cpus == hi_cpus and hi_result is not None and CPUS == hi_cpus:
+            out[f"local[{cpus}]"] = hi_result
+            continue
         proc = subprocess.run(
             [sys.executable, __file__, "--validate-only", "--cpus", str(cpus)],
-            capture_output=True, text=True, timeout=900,
+            capture_output=True, text=True, timeout=1200, env=env,
             cwd=os.path.dirname(os.path.abspath(__file__)),
         )
         line = proc.stdout.strip().splitlines()[-1]
@@ -179,7 +196,7 @@ def main() -> None:
     scaling = {}
     if not os.environ.get("SPARK_GRAFT_NO_SCALING"):
         try:
-            scaling = scaling_measurement()
+            scaling = scaling_measurement(hi_result=validation)
         except Exception as exc:  # scaling is evidence, not a gate
             scaling = {"error": str(exc)[:200]}
 

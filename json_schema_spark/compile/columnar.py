@@ -140,10 +140,15 @@ def _plural_was_were(count_expr: str) -> str:
 class ColumnarCompiler:
     """Compiles one expanded SchemaNode graph against a root Value."""
 
-    def __init__(self, max_unroll_depth: Optional[int] = None):
+    def __init__(self, max_unroll_depth: Optional[int] = None,
+                 max_ref_depth: Optional[int] = None):
         self.max_unroll_depth = (
             max_unroll_depth if max_unroll_depth is not None
             else configuration().max_unroll_depth
+        )
+        self.max_ref_depth = (
+            max_ref_depth if max_ref_depth is not None
+            else configuration().max_ref_depth
         )
         self._var_counter = 0
 
@@ -175,6 +180,13 @@ class ColumnarCompiler:
         revisits = sum(1 for s in stack if s is schema)
         if revisits >= self.max_unroll_depth:
             return [TRIVIAL]
+        # cyclic graphs: dereferenced clones share children, so distinct
+        # clone objects can permute along a path — bound the total number of
+        # ref hops, not just per-node revisits (SURVEY.md §7.3)
+        if not schema.original():
+            ref_hops = sum(1 for s in stack if not s.original())
+            if ref_hops >= self.max_ref_depth:
+                return [TRIVIAL]
         stack = stack + (schema,)
 
         parts: List[Optional[Compiled]] = []
@@ -497,7 +509,7 @@ class ColumnarCompiler:
 
     def _max_properties(self, schema: SchemaNode, value: Value, path: str) -> Compiled:
         n = schema.max_properties
-        size = fn("size", value.object_keys())
+        size = value.n_props() or fn("size", value.object_keys())
         message = concat(
             sql_str(f"No more than {n} propert{'y is' if n == 1 else 'ies are'} allowed; "),
             f"cast({size} as string)",
@@ -508,7 +520,7 @@ class ColumnarCompiler:
 
     def _min_properties(self, schema: SchemaNode, value: Value, path: str) -> Compiled:
         n = schema.min_properties
-        size = fn("size", value.object_keys())
+        size = value.n_props() or fn("size", value.object_keys())
         message = concat(
             sql_str(f"At least {n} propert{'y is' if n == 1 else 'ies are'} required; "),
             f"cast({size} as string)",
@@ -554,6 +566,18 @@ class ColumnarCompiler:
 
     def _required(self, schema: SchemaNode, value: Value, path: str,
                   required: list) -> Compiled:
+        fast = value.missing_required(required)
+        if fast is not None:
+            any_missing, missing = fast
+            n = fn("size", missing)
+            message = concat(
+                "'\"'",
+                fn("array_join", missing, sql_str('", "')),
+                sql_str('" '),
+                iff(f"({n} = 1)", sql_str("wasn't"), sql_str("weren't")),
+                sql_str(" supplied."),
+            )
+            return _fail(any_missing, path, "required_failed", schema.pointer, message)
         lit_required = fn("array", *[sql_str(k) for k in required])
         missing = fn("array_sort", fn("array_except", lit_required, value.object_keys()))
         n = fn("size", missing)
@@ -574,8 +598,9 @@ class ColumnarCompiler:
     # --- string -----------------------------------------------------------------
 
     def _format(self, schema: SchemaNode, value: Value, path: str) -> Compiled:
-        check = format_check_sql(schema.format, value.as_string())
-        if check is None:
+        allow_udf = not getattr(value, "in_lambda", False)
+        check = format_check_sql(schema.format, value.as_string(), allow_udf=allow_udf)
+        if check is None or check == "true":
             return TRIVIAL
         message = concat(value.render_to_s(), sql_str(f" is not a valid {schema.format}."))
         return _fail(f"(NOT coalesce({check}, false))", path, "invalid_format",

@@ -115,16 +115,20 @@ _RLIKE_FORMATS = {
 }
 
 
-def format_check_sql(fmt: str, string_expr: str) -> Optional[str]:
+def format_check_sql(fmt: str, string_expr: str,
+                     allow_udf: bool = True) -> Optional[str]:
     """SQL boolean expression that is true when ``string_expr`` satisfies the
-    named format, or None when the format is unknown (parser already errored)."""
+    named format, or None when the format is unknown (parser already errored).
+    ``allow_udf=False`` (inside higher-order-function lambdas, where Spark
+    forbids Python UDFs) skips UDF-backed formats — they validate vacuously
+    true there (documented completeness gap)."""
     from .sqlgen import sql_str
 
     cfg = configuration()
     if fmt in cfg.custom_format_columns:
         return cfg.custom_format_columns[fmt](string_expr)
     if fmt in cfg.custom_formats:
-        return f"{udf_name_for_format(fmt)}({string_expr})"
+        return f"{udf_name_for_format(fmt)}({string_expr})" if allow_udf else "true"
 
     if fmt == "date":
         # regex shape + real calendar date (Ruby Date.parse, validator.rb:570)
@@ -133,7 +137,7 @@ def format_check_sql(fmt: str, string_expr: str) -> Optional[str]:
     if fmt in _RLIKE_FORMATS:
         return f"({string_expr} RLIKE {sql_str(_RLIKE_FORMATS[fmt])})"
     if fmt == "regex":
-        return f"jss_regex_compiles({string_expr})"
+        return f"jss_regex_compiles({string_expr})" if allow_udf else "true"
     return None
 
 

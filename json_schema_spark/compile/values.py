@@ -82,6 +82,16 @@ class Value:
         """A string rendering usable for deep-equality comparisons."""
         raise NotImplementedError
 
+    def missing_required(self, required: list):
+        """Optional fast path for the required check: return
+        (any_missing_cond, sorted_missing_keys_array) or None to use the
+        generic array_except path."""
+        return None
+
+    def n_props(self):
+        """Optional fast path for property counting; None → size(object_keys())."""
+        return None
+
 
 def _ruby_num_string(decimal_expr: str, is_integer: BoolLike) -> str:
     """Render a numeric value the way Ruby #to_s would: integers bare, floats
@@ -342,6 +352,32 @@ class TypedValue(Value):
     def wrap_map_value(self, value_expr: str) -> "Value":
         assert isinstance(self.dtype, T.MapType)
         return TypedValue(value_expr, self.dtype.valueType)
+
+    def missing_required(self, required: list):
+        """Struct fast path: 'required' over a typed struct is a chain of
+        IS NULL checks — no per-row array allocation on the hot path (the
+        sorted missing-key array is only built inside the failure branch)."""
+        if not isinstance(self.dtype, T.StructType):
+            return None
+        present = set(self.dtype.fieldNames())
+        conds = []
+        elems = []
+        for k in sorted(required):
+            miss = "true" if k not in present else f"({self.expr}.{_q(k)} IS NULL)"
+            conds.append(miss)
+            elems.append(iff(miss, sql_str(k), "null"))
+        any_missing = "(" + " OR ".join(conds) + ")"
+        missing_arr = fn("filter", f"array({', '.join(elems)})", "mk -> mk IS NOT NULL")
+        return any_missing, missing_arr
+
+    def n_props(self):
+        if not isinstance(self.dtype, T.StructType):
+            return None
+        terms = " + ".join(
+            f"cast(({self.expr}.{_q(f.name)} IS NOT NULL) as int)"
+            for f in self.dtype.fields
+        )
+        return f"({terms})"
 
     def render_to_s(self) -> str:
         kind = self._kind()

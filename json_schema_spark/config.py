@@ -33,6 +33,11 @@ class Configuration:
         self.custom_format_columns: dict = {}
         self.all_of_sub_errors: bool = False
         self.max_unroll_depth: int = 6
+        # total dereferenced-$ref nodes allowed on one compile path: caps the
+        # *combinatorial* blowup of cyclic schema graphs whose clones branch
+        # into each other (e.g. the draft-4 meta-schema); values nested
+        # beyond this many ref hops validate vacuously true
+        self.max_ref_depth: int = 16
 
     def register_format(
         self,

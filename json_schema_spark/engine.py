@@ -113,9 +113,11 @@ class ValidationResult:
 
 
 class ValidationEngine:
-    def __init__(self, spark: SparkSession, max_unroll_depth: Optional[int] = None):
+    def __init__(self, spark: SparkSession, max_unroll_depth: Optional[int] = None,
+                 max_ref_depth: Optional[int] = None):
         self.spark = spark
         self.max_unroll_depth = max_unroll_depth
+        self.max_ref_depth = max_ref_depth
         register_format_udfs(spark)
         for ddl in variant_sql_udf_ddl():
             spark.sql(ddl)
@@ -128,7 +130,8 @@ class ValidationEngine:
         spark.conf.set("spark.sql.subexpressionElimination.enabled", "false")
 
     def _compiler(self) -> ColumnarCompiler:
-        return ColumnarCompiler(max_unroll_depth=self.max_unroll_depth)
+        return ColumnarCompiler(max_unroll_depth=self.max_unroll_depth,
+                                max_ref_depth=self.max_ref_depth)
 
     def _annotate(self, df: DataFrame, parts: List[Compiled],
                   id_cols: Optional[List[str]],
