@@ -1,0 +1,116 @@
+"""CLI driver — the ``validate-schema`` analog (reference:
+bin/validate-schema + lib/commands/validate_schema.rb), spark-submit-ready:
+
+    spark-submit --py-files json_schema_spark.zip -m json_schema_spark.cli \\
+        --schema schema.json --data /data/docs.parquet \\
+        --violations /out/violations --manifest /out/manifest
+
+Modes:
+- ``--data`` parquet + ``--schema``: typed validation of the table
+- ``--json-col``: validate a JSON-string column instead of typed rows
+- ``--detect``: validate documents against the draft-4 meta-schema
+  (schema-validates-schema, validate_schema.rb:39-49)
+- ``--extra-schemas``: pre-register documents for cross-document $refs
+  (the ``-s`` flag analog, validate_schema.rb:65-74)
+- ``--manifest``: checkpoint-resumable run (partition-granular)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="json-schema-spark",
+                                description="Validate a document corpus against a JSON Schema")
+    p.add_argument("--schema", help="path to the schema JSON file")
+    p.add_argument("--data", required=True, help="parquet path of the documents table")
+    p.add_argument("--json-col", help="treat this column as JSON strings (variant mode)")
+    p.add_argument("--id-col", default="doc_id", help="document id column")
+    p.add_argument("--detect", action="store_true",
+                   help="validate against the draft-4 meta-schema")
+    p.add_argument("--extra-schemas", nargs="*", default=[],
+                   help="schema JSON files to pre-register for cross-document $refs")
+    p.add_argument("--violations", help="output parquet path for violation rows")
+    p.add_argument("--verdicts", help="output parquet path for per-partition verdicts")
+    p.add_argument("--manifest", help="manifest path: enables resumable bucketed runs")
+    p.add_argument("--n-buckets", type=int, default=64)
+    p.add_argument("--fail-fast", action="store_true",
+                   help="verdict-only mode (no violation materialization)")
+    p.add_argument("--master", default=None)
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+
+    from pyspark.sql import SparkSession
+
+    builder = SparkSession.builder.appName("json-schema-spark")
+    if args.master:
+        builder = builder.master(args.master)
+    spark = builder.getOrCreate()
+
+    from .document_store import DocumentStore
+    from .engine import ValidationEngine, compile_schema
+    from .metaschema import DRAFT4_META_SCHEMA
+
+    store = DocumentStore()
+    if args.extra_schemas:
+        from .parser import Parser
+
+        for path in args.extra_schemas:
+            with open(path) as fh:
+                store.add_schema(Parser().parse_bang(json.load(fh)))
+
+    if args.detect:
+        schema = DRAFT4_META_SCHEMA
+    elif args.schema:
+        with open(args.schema) as fh:
+            schema = json.load(fh)
+    else:
+        print("error: --schema or --detect required", file=sys.stderr)
+        return 2
+
+    df = spark.read.parquet(args.data)
+    engine = ValidationEngine(spark)
+
+    if args.manifest:
+        from .manifest import validate_resumable
+
+        run = validate_resumable(
+            spark, df, schema,
+            manifest_path=args.manifest,
+            violations_path=args.violations or args.manifest + "_violations",
+            key=args.id_col, id_cols=[args.id_col], n_buckets=args.n_buckets,
+        )
+        print(json.dumps({
+            "run_id": run.run_id,
+            "processed_buckets": len(run.processed_buckets),
+            "skipped_buckets": len(run.skipped_buckets),
+        }))
+        return 0
+
+    if args.json_col:
+        result = engine.validate_json(df, args.json_col, schema,
+                                      id_cols=[args.id_col], store=store,
+                                      verdict_only=args.fail_fast)
+    else:
+        result = engine.validate_typed(df, schema, id_cols=[args.id_col],
+                                       store=store, verdict_only=args.fail_fast)
+
+    if args.violations and not args.fail_fast:
+        result.violations.write.mode("overwrite").parquet(args.violations)
+    if args.verdicts:
+        result.verdicts.write.mode("overwrite").parquet(args.verdicts)
+
+    counts = result.counts()
+    print(json.dumps(counts))
+    # exit 1 when any document is invalid (bin/validate-schema:32-40 analog)
+    return 0 if counts["valid_docs"] == counts["docs"] else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

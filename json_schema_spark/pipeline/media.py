@@ -1,0 +1,133 @@
+"""Multimodal columns: image/audio/video as opaque binary + typed metadata.
+
+The container image ships no image/audio codecs, so the *decode* step is a
+clearly-marked stub (deterministic fake bytes → features); everything
+Spark-side is real and tested: the schema contract, Arrow batch shape,
+``mapInPandas`` plumbing, and partition sizing. Swapping the stub for
+Pillow/torchaudio/ffmpeg is a one-function change on the executors.
+
+Design rules for 100 TB of media:
+
+- media bytes never pass through the driver; they stay columnar Arrow
+  batches end-to-end (``mapInPandas`` yields per-batch pandas frames).
+- decode fan-out is CPU-heavy → repartition by size budget first
+  (``target_batch_mb``), not by row count.
+- features come back as fixed-width arrays so downstream similarity
+  operators (pipeline/similarity.py) apply unchanged.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator, Optional
+
+from pyspark.sql import DataFrame, functions as F, types as T
+
+MEDIA_SCHEMA = T.StructType([
+    T.StructField("media_ref", T.StringType(), False),
+    T.StructField("mime", T.StringType(), True),
+    T.StructField("payload", T.BinaryType(), True),
+])
+
+FEATURE_DIM = 16
+
+FEATURES_SCHEMA = T.StructType([
+    T.StructField("media_ref", T.StringType(), False),
+    T.StructField("mime", T.StringType(), True),
+    T.StructField("n_bytes", T.LongType(), True),
+    T.StructField("sha256", T.StringType(), True),
+    T.StructField("width", T.IntegerType(), True),
+    T.StructField("height", T.IntegerType(), True),
+    T.StructField("features", T.ArrayType(T.FloatType()), True),
+])
+
+
+def synthesize_media_payloads(media: DataFrame, max_bytes: int = 4096) -> DataFrame:
+    """Attach a deterministic fake binary payload to a media catalog
+    (sha2-seeded repetition — stands in for real object-store fetches)."""
+    n_hex_chars = F.lit(2) * (F.lit(64) + F.pmod(F.xxhash64("media_ref"), F.lit(max(1, max_bytes - 64))))
+    return media.select(
+        "media_ref",
+        "mime",
+        F.to_binary(
+            F.substring(F.repeat(F.sha2(F.col("media_ref"), 256), 2 + max_bytes // 32),
+                        F.lit(1), n_hex_chars.cast("int")),
+            F.lit("hex"),
+        ).alias("payload"),
+    )
+
+
+def _decode_stub(payload: bytes, mime: str):
+    """STUB decode: replace with a real codec on the executors.
+
+    Returns (width, height, feature_vector). Deterministic in the payload
+    bytes so tests can pin outputs. Raises for unknown mimes, mirroring how
+    a real decoder would surface corrupt inputs.
+    """
+    if payload is None:
+        return None, None, None
+    if mime is None or not any(mime.startswith(p) for p in ("image/", "audio/", "video/")):
+        raise NotImplementedError(f"no decoder for mime {mime!r}")
+    digest = hashlib.sha256(payload).digest()
+    width = 1 + digest[0] % 64
+    height = 1 + digest[1] % 64
+    features = [round(b / 255.0, 6) for b in digest[:FEATURE_DIM]]
+    return width, height, features
+
+
+def extract_media_features(media_with_payloads: DataFrame,
+                           target_batch_mb: int = 64,
+                           avg_payload_bytes: int = 4096) -> DataFrame:
+    """Decode + feature-extract via ``mapInPandas`` (Arrow batches, never
+    row-at-a-time serde). Rows are repartitioned so each task holds roughly
+    ``target_batch_mb`` of payload."""
+    import math
+
+    rows_per_task = max(1, (target_batch_mb * 1024 * 1024) // max(1, avg_payload_bytes))
+    n_rows = media_with_payloads.count()
+    n_parts = max(1, math.ceil(n_rows / rows_per_task))
+    df = media_with_payloads.repartition(n_parts)
+
+    def decode_batches(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            out = {
+                "media_ref": pdf["media_ref"],
+                "mime": pdf["mime"],
+                "n_bytes": pdf["payload"].map(lambda b: len(b) if b is not None else None),
+                "sha256": pdf["payload"].map(
+                    lambda b: hashlib.sha256(b).hexdigest() if b is not None else None),
+            }
+            widths, heights, feats = [], [], []
+            for payload, mime in zip(pdf["payload"], pdf["mime"]):
+                w, h, f = _decode_stub(payload, mime)
+                widths.append(w)
+                heights.append(h)
+                feats.append(f)
+            out["width"] = widths
+            out["height"] = heights
+            out["features"] = feats
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(decode_batches, FEATURES_SCHEMA)
+
+
+def frame_sample_plan(media: DataFrame, fps: float = 1.0,
+                      max_frames: int = 16) -> DataFrame:
+    """Video frame-sampling *plan*: one row per (media_ref, frame_idx,
+    timestamp_ms) — pure Catalyst (sequence + explode); the actual frame
+    decode plugs into extract_media_features. Duration is stubbed from
+    bytes (real impl: container metadata)."""
+    duration_ms = (F.col("bytes") / 1000).cast("int") + 1000
+    n_frames = F.least(F.lit(max_frames),
+                       F.greatest(F.lit(1), (duration_ms / 1000.0 * fps).cast("int")))
+    return (
+        media.where(F.col("mime").startswith("video/"))
+        .select(
+            "media_ref",
+            F.posexplode(F.sequence(F.lit(0), n_frames - 1)).alias("frame_idx", "_i"),
+        )
+        .select("media_ref", "frame_idx",
+                (F.col("frame_idx") * F.lit(int(1000 / fps))).alias("timestamp_ms"))
+    )

@@ -1,0 +1,63 @@
+"""Multimodal plumbing tests: Arrow-batched decode stub over mapInPandas."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from json_schema_spark.datagen import DocGenConfig, generate_media
+from json_schema_spark.pipeline.media import (FEATURE_DIM, extract_media_features,
+                                              frame_sample_plan,
+                                              synthesize_media_payloads)
+
+CFG = DocGenConfig(n_docs=100, n_media=200, seed=17, media_coverage=1.0, partitions=4)
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    return generate_media(spark, CFG).cache()
+
+
+def test_payloads_deterministic(spark, media):
+    a = synthesize_media_payloads(media).select("media_ref", F.md5("payload").alias("h"))
+    b = synthesize_media_payloads(media.repartition(2)).select(
+        "media_ref", F.md5("payload").alias("h"))
+    assert a.exceptAll(b).count() == 0
+
+
+def test_feature_extraction(spark, media):
+    with_payloads = synthesize_media_payloads(media)
+    feats = extract_media_features(with_payloads, target_batch_mb=1,
+                                   avg_payload_bytes=2048)
+    rows = feats.collect()
+    assert len(rows) == media.count()
+    for r in rows[:10]:
+        assert r["n_bytes"] > 0
+        assert len(r["sha256"]) == 64
+        assert 1 <= r["width"] <= 64 and 1 <= r["height"] <= 64
+        assert len(r["features"]) == FEATURE_DIM
+        assert all(0.0 <= f <= 1.0 for f in r["features"])
+
+
+def test_features_feed_similarity(spark, media):
+    """The extracted feature vectors drop straight into the similarity ops."""
+    from json_schema_spark.pipeline.similarity import cosine_topk
+
+    feats = extract_media_features(synthesize_media_payloads(media))
+    emb = feats.select(F.col("media_ref").alias("vec_id"),
+                       F.col("features").alias("embedding"))
+    queries = emb.limit(3)
+    top = cosine_topk(emb, k=3, queries=queries)
+    assert top.count() == 9
+    assert top.agg(F.max("cosine")).collect()[0][0] <= 1.000001
+
+
+def test_frame_sample_plan(spark, media):
+    plan = frame_sample_plan(media, fps=1.0, max_frames=4)
+    vids = media.where(F.col("mime").startswith("video/")).count()
+    rows = plan.collect()
+    if vids:
+        assert len(rows) >= vids
+        per_ref = {}
+        for r in rows:
+            per_ref.setdefault(r["media_ref"], []).append(r["frame_idx"])
+        for idxs in per_ref.values():
+            assert sorted(idxs) == list(range(len(idxs)))
