@@ -498,7 +498,8 @@ class ColumnarCompiler:
                             stack) -> List[Compiled]:
         parts: List[Optional[Compiled]] = []
         for key, dep in schema.dependencies.items():
-            has = value.has_property(key)
+            # Ruby truthiness, not mere presence (validator.rb:205)
+            has = value.truthy_property(key)
             if has is False:
                 continue
             if isinstance(dep, SchemaNode):

@@ -88,6 +88,12 @@ class Value:
         generic array_except path."""
         return None
 
+    def truthy_property(self, key: str):
+        """Ruby-truthiness of a property (dependencies fire only when the
+        key's value is present and neither false nor null —
+        validator.rb:205 `next true unless data[key]`)."""
+        raise NotImplementedError
+
     def n_props(self):
         """Optional fast path for property counting; None → size(object_keys())."""
         return None
@@ -109,12 +115,18 @@ def _ruby_num_string(decimal_expr: str, is_integer: BoolLike) -> str:
 
 
 class VariantValue(Value):
-    def __init__(self, expr: str, in_lambda: bool = False):
+    def __init__(self, expr: str, in_lambda: bool = False,
+                 object_map_col: str = None):
         # SQL scalar functions cannot be invoked on lambda variables (the
         # inlined Project loses resolution), so values rooted at a
         # higher-order-function variable inline their render bodies instead.
         self.expr = expr
         self.in_lambda = in_lambda
+        # manual CSE: the engine pre-projects the root object's
+        # map<string,variant> cast into a column (it appears once per
+        # property access and codegen-time subexpression elimination is
+        # disabled — see engine.py)
+        self.object_map_col = object_map_col
 
     def _tag(self) -> str:
         return fn("schema_of_variant", self.expr)
@@ -164,6 +176,8 @@ class VariantValue(Value):
         return VariantValue(elem_expr, in_lambda=True)
 
     def object_map(self) -> str:
+        if self.object_map_col:
+            return self.object_map_col
         return fn("try_variant_get", self.expr, "'$'", "'map<string,variant>'")
 
     def object_keys(self) -> str:
@@ -175,6 +189,12 @@ class VariantValue(Value):
     def get_property(self, key: str) -> "VariantValue":
         return VariantValue(fn("element_at", self.object_map(), sql_str(key)),
                             in_lambda=self.in_lambda)
+
+    def truthy_property(self, key: str) -> str:
+        v = fn("element_at", self.object_map(), sql_str(key))
+        t = fn("schema_of_variant", v)
+        return (f"coalesce({self.has_property(key)} AND ({t} <> 'VOID') AND "
+                f"(({t} <> 'BOOLEAN') OR try_variant_get({v}, '$', 'boolean')), false)")
 
     def wrap_map_value(self, value_expr: str) -> "VariantValue":
         return VariantValue(value_expr, in_lambda=True)
@@ -348,6 +368,15 @@ class TypedValue(Value):
             ftype = {f.name: f.dataType for f in self.dtype.fields}[key]
             return TypedValue(f"{self.expr}.{_q(key)}", ftype)
         return TypedValue("cast(null as string)", T.StringType())
+
+    def truthy_property(self, key: str):
+        has = self.has_property(key)
+        if has is False:
+            return False
+        child = self.get_property(key)
+        if isinstance(child.dtype, T.BooleanType):
+            return f"coalesce({child.expr}, false)"
+        return has
 
     def wrap_map_value(self, value_expr: str) -> "Value":
         assert isinstance(self.dtype, T.MapType)

@@ -177,8 +177,15 @@ class ValidationEngine:
                          store: Optional[DocumentStore] = None,
                          verdict_only: bool = False) -> ValidationResult:
         node = compile_schema(schema, store)
-        parts = self._compiler().compile_parts(node, VariantValue(variant_col))
-        return self._annotate(df, parts, id_cols, verdict_only=verdict_only)
+        # pre-project the root object-map cast once (manual CSE)
+        obj_col = "__jss_omap"
+        df = df.withColumn(obj_col, F.expr(
+            f"try_variant_get({variant_col}, '$', 'map<string,variant>')"))
+        value = VariantValue(variant_col, object_map_col=obj_col)
+        parts = self._compiler().compile_parts(node, value)
+        result = self._annotate(df, parts, id_cols, verdict_only=verdict_only)
+        result.annotated = result.annotated.drop(obj_col)
+        return result
 
     def validate_json(self, df: DataFrame, json_col: str,
                       schema: Union[dict, SchemaNode],

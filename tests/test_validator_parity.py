@@ -678,3 +678,11 @@ def test_custom_format_failure(spark):  # :994
     assert not out.valid
     assert "43 is not a valid the-answer." in out.messages
     assert "invalid_format" in out.types
+
+
+def test_dependency_skipped_for_falsy_value(spark):
+    """validator.rb:205 uses truthiness: production=false does not trigger
+    the production->ssl dependency."""
+    out = case(spark, [("#/definitions/app/dependencies", {"production": "ssl"})],
+               {"production": False})
+    assert out.valid, out.messages
