@@ -74,6 +74,16 @@ def main(argv=None) -> int:
         print("error: --schema or --detect required", file=sys.stderr)
         return 2
 
+    # fail on schema problems with the reference's error wording, not a
+    # traceback (bin/validate-schema prints errors and exits non-zero)
+    from .errors import AggregateError
+
+    try:
+        compile_schema(schema, store)
+    except AggregateError as exc:
+        print(f"schema error: {exc}", file=sys.stderr)
+        return 2
+
     df = spark.read.parquet(args.data)
     engine = ValidationEngine(spark)
 
