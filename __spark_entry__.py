@@ -259,6 +259,32 @@ def q_simhash(spark, sf_dir):
     return dedup.simhash(d)
 
 
+def q_deep_validate_props(spark, sf_dir):
+    """Deep mode (iterative dataflow) over the events props JSON — same
+    verdict surface as the columnar engine."""
+    from pyspark.sql import functions as F
+
+    from json_schema_spark.deep import DeepValidator
+
+    events = _t(spark, sf_dir, "events").orderBy("event_id").limit(2000)
+    df = events.withColumn("v", F.parse_json("props"))
+    out = DeepValidator(spark, PROPS_SCHEMA).validate(df, "v", "event_id")
+    return out.select(F.col("doc_id").alias("event_id"), "is_valid")
+
+
+def q_detect_mode(spark, sf_dir):
+    """Schema-validates-schema: events.props documents against the draft-4
+    meta-schema (they are valid schemas — objects with no keywords)."""
+    from json_schema_spark.engine import ValidationEngine
+    from json_schema_spark.metaschema import DRAFT4_META_SCHEMA
+
+    events = _t(spark, sf_dir, "events").orderBy("event_id").limit(500)
+    engine = ValidationEngine(spark, max_ref_depth=1)
+    res = engine.validate_json(events, "props", DRAFT4_META_SCHEMA,
+                               id_cols=["event_id"])
+    return res.annotated.select("event_id", "is_valid")
+
+
 def q_drift_events(spark, sf_dir):
     e = _t(spark, sf_dir, "events")
     ref = e.where(F.col("event_type") == "click").select("value")
@@ -298,6 +324,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_candidates": q_minhash_lsh_candidates,
         "simhash": q_simhash,
         "drift_events": q_drift_events,
+        "deep_validate_props": q_deep_validate_props,
+        "detect_mode": q_detect_mode,
     }
 
 
@@ -353,6 +381,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, '#/n_chars', 'max_failed' FROM documents WHERE n_chars > 10000
             UNION ALL
             SELECT doc_id, '#/doc_id', 'min_failed' FROM documents WHERE doc_id < 0
+        """,
+        "deep_validate_props": """
+            SELECT event_id,
+                   (CAST(json_extract_string(props, '$.k') AS BIGINT) >= 0
+                    AND CAST(json_extract_string(props, '$.k') AS BIGINT) <= 80) AS is_valid
+            FROM (SELECT * FROM events ORDER BY event_id LIMIT 2000)
         """,
         "validate_props_json": """
             SELECT event_id,
