@@ -249,7 +249,13 @@ class VariantValue(Value):
         return f"coalesce(to_json({self.expr}) = {sql_str(canon)}, false)"
 
     def canonical_json(self) -> str:
-        return fn("to_json", self.expr)
+        # type-tagged: Ruby Array#uniq uses eql? (type-strict), so 1 and 1.0
+        # must canonicalize differently; the variant tag class provides that
+        t = self._tag()
+        tag_class = (f"(CASE WHEN {t} = 'BIGINT' THEN 'i' "
+                     f"WHEN startswith({t}, 'DECIMAL') OR {t} = 'DOUBLE' OR {t} = 'FLOAT' THEN 'f' "
+                     f"WHEN {t} = 'BOOLEAN' THEN 'b' ELSE 's' END)")
+        return f"concat({tag_class}, '|', to_json({self.expr}))"
 
 
 def variant_sql_udf_ddl() -> list:

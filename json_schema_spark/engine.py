@@ -214,8 +214,31 @@ class ValidationEngine:
             dtype = df.schema[doc_col].dataType
             value = TypedValue(doc_col, dtype)
         else:
-            struct_type = T.StructType(df.schema.fields)
-            cols = ", ".join(f"'{f.name}', {f.name}" for f in df.schema.fields)
+            # column pruning: when no whole-object keyword needs the full
+            # key set (additional/strict/min/maxProperties), the row-struct
+            # only includes columns the schema actually touches — Catalyst
+            # then prunes the parquet ReadSchema to those columns, which is
+            # the difference between scanning 2 columns and 2 TB at scale
+            fields = df.schema.fields
+            needs_all = (
+                node.additional_properties is not None
+                or node.strict_properties
+                or node.max_properties is not None
+                or node.min_properties is not None
+                or node.pattern_properties
+                or node.all_of or node.any_of or node.one_of or node.not_ is not None
+            )
+            if not needs_all:
+                touched = set(node.required or []) | set((node.properties or {}).keys())
+                touched |= {k for k in (node.dependencies or {})}
+                for dep in (node.dependencies or {}).values():
+                    if isinstance(dep, list):
+                        touched.update(dep)
+                pruned = [f for f in fields if f.name in touched]
+                if pruned:
+                    fields = pruned
+            struct_type = T.StructType(fields)
+            cols = ", ".join(f"'{f.name}', {f.name}" for f in fields)
             value = TypedValue(f"named_struct({cols})", struct_type)
         parts = self._compiler().compile_parts(node, value)
         return self._annotate(df, parts, id_cols, verdict_only=verdict_only)
