@@ -162,9 +162,14 @@ def q_user_sessions(spark, sf_dir):
 
     e = _t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.unix_timestamp("ts") - F.lag(F.unix_timestamp("ts")).over(w)
+    # exact integer microseconds: unix_timestamp() truncates to whole seconds
+    # while the oracle's epoch() is fractional — sub-second gaps straddling
+    # the boundary would disagree (CORRECTNESS_r01 user_sessions hash fail)
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    gap = us - F.lag(us).over(w)
     return (
-        e.withColumn("new_session", F.when(gap.isNull() | (gap > 3600), 1).otherwise(0))
+        e.withColumn("new_session",
+                     F.when(gap.isNull() | (gap > 3_600_000_000), 1).otherwise(0))
         .groupBy("user_id")
         .agg(F.count(F.lit(1)).alias("n_events"),
              F.sum("new_session").alias("n_sessions"))
@@ -229,7 +234,9 @@ def q_minhash_signatures(spark, sf_dir):
 
 def q_jaccard_pairs(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
-    pairs = dedup.jaccard_pairs(d, n=3, threshold=0.2)
+    # frequency cut on: ubiquitous shingles would otherwise fan the
+    # self-join out quadratically (the 100-TB scale hazard)
+    pairs = dedup.jaccard_pairs(d, n=3, threshold=0.2, max_shingle_freq=1000)
     return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard_r6"))
 
 
@@ -241,12 +248,14 @@ def q_knn_cosine(spark, sf_dir):
                       F.round("cosine", 6).alias("cosine_r6"))
 
 
-# --- engine-specific entries (no SQL oracle → rows-only check) ---------------
-
-
 def q_lsh_topk(spark, sf_dir):
+    """The scale ANN path: hyperplane-bucketed candidates, exact re-rank.
+    Hyperplane signs are md5-derived and the projection is an exact integer
+    dot product, so buckets (and the result) are engine-portable."""
     emb = _t(spark, sf_dir, "embeddings")
-    return similarity.lsh_topk(emb, k=5, planes=6)
+    out = similarity.lsh_topk(emb, k=5, planes=6)
+    return out.select("query_id", "neighbor_id", "rank",
+                      F.round("cosine", 6).alias("cosine_r6"))
 
 
 def q_minhash_lsh_candidates(spark, sf_dir):
@@ -257,6 +266,11 @@ def q_minhash_lsh_candidates(spark, sf_dir):
 def q_simhash(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return dedup.simhash(d)
+
+
+def q_simhash_near_pairs(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return dedup.simhash_near_pairs(d, max_hamming=20)
 
 
 def q_deep_validate_props(spark, sf_dir):
@@ -273,14 +287,27 @@ def q_deep_validate_props(spark, sf_dir):
 
 
 def q_detect_mode(spark, sf_dir):
-    """Schema-validates-schema: events.props documents against the draft-4
-    meta-schema (they are valid schemas — objects with no keywords)."""
+    """Schema-validates-schema (the reference CLI's -d mode): deterministic
+    mutations of events rows into schema documents — some ill-typed — are
+    validated against the draft-4 meta-schema. ref-depth 1 suffices for the
+    constructs used (type/minProperties/uniqueItems/maxLength resolve within
+    one $ref hop) and was verified to give the true metaschema verdicts."""
     from json_schema_spark.engine import ValidationEngine
     from json_schema_spark.metaschema import DRAFT4_META_SCHEMA
 
     events = _t(spark, sf_dir, "events").orderBy("event_id").limit(500)
+    k = F.get_json_object("props", "$.k").cast("long")
+    doc = (
+        F.when(k % 4 == 0, F.concat(F.lit('{"type": "object", "minProperties": '),
+                                    k.cast("string"), F.lit('}')))
+        .when(k % 4 == 1, F.lit('{"type": 12}'))
+        .when(k % 4 == 2, F.lit('{"type": ["string", "nope"]}'))
+        .otherwise(F.concat(F.lit('{"uniqueItems": true, "maxLength": '),
+                            k.cast("string"), F.lit('}')))
+    )
+    df = events.select("event_id", doc.alias("schema_doc"))
     engine = ValidationEngine(spark, max_ref_depth=1)
-    res = engine.validate_json(events, "props", DRAFT4_META_SCHEMA,
+    res = engine.validate_json(df, "schema_doc", DRAFT4_META_SCHEMA,
                                id_cols=["event_id"])
     return res.annotated.select("event_id", "is_valid")
 
@@ -323,6 +350,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_topk": q_lsh_topk,
         "minhash_lsh_candidates": q_minhash_lsh_candidates,
         "simhash": q_simhash,
+        "simhash_near_pairs": q_simhash_near_pairs,
         "drift_events": q_drift_events,
         "deep_validate_props": q_deep_validate_props,
         "detect_mode": q_detect_mode,
@@ -349,6 +377,30 @@ _LANG_HITS = {
 }
 
 _MINHASH_PERMS = "(VALUES (0, 1299721, 7), (1, 15485863, 11), (2, 32452843, 13), (3, 49979687, 17)) AS perms(perm, a, b)"
+_MINHASH_PERMS8 = ("(VALUES (0, 1299721, 7), (1, 15485863, 11), (2, 32452843, 13), (3, 49979687, 17), "
+                   "(4, 67867967, 19), (5, 86028121, 23), (6, 104395301, 29), (7, 122949823, 31)) "
+                   "AS perms(perm, a, b)")
+
+# portable 60-bit md5-prefix hash (== json_schema_spark.pipeline.dedup.md5_int)
+_MD5_INT = "CAST(concat('0x', substr(md5({x}), 1, 15)) AS BIGINT)"
+
+# SimHash signatures, bit-identical to pipeline.dedup.simhash (60 bits)
+_SIMHASH_SIG_CTE = f"""
+toks AS (SELECT doc_id, {_TOKENS} AS l FROM documents),
+tok AS (SELECT DISTINCT doc_id, unnest(l) AS tok FROM toks),
+th AS (SELECT doc_id, {_MD5_INT.format(x='tok')} AS h FROM tok),
+bitsum AS (
+    SELECT doc_id, bs.b AS b,
+           sum(CASE WHEN ((h >> bs.b) & 1) = 1 THEN 1 ELSE -1 END) AS s
+    FROM th CROSS JOIN (SELECT unnest(range(60)) AS b) bs
+    GROUP BY doc_id, bs.b
+),
+sig AS (
+    SELECT doc_id,
+           sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END) AS simhash
+    FROM bitsum GROUP BY doc_id
+)
+"""
 
 _SHINGLES_CTE = f"""
 toks AS (
@@ -359,6 +411,50 @@ sh AS (
     FROM toks, LATERAL (SELECT unnest(generate_series(1, len(l) - 2)) AS i) idx
 )
 """
+
+
+def _lsh_topk_oracle(planes: int = 6, seed: int = 42, k: int = 5) -> str:
+    """DuckDB replica of similarity.lsh_topk: md5-derived ±1 hyperplane
+    signs over the integer-quantized vector — exact integer projections, so
+    buckets match Spark's bit-for-bit."""
+    sign = ("(CASE WHEN CAST(concat('0x', substr(md5(concat('hp_{seed}_{p}_', i - 1)), 1, 15)) AS BIGINT)"
+            " % 2 = 0 THEN 1 ELSE -1 END)")
+    projs = ",\n                   ".join(
+        "list_sum(list_transform(range(1, len(qv) + 1), i -> qv[i] * "
+        + sign.format(seed=seed, p=p) + f")) AS s{p}"
+        for p in range(planes)
+    )
+    bucket = ", ".join(f"CASE WHEN s{p} >= 0 THEN '1' ELSE '0' END"
+                       for p in range(planes))
+    return f"""
+        WITH v AS (
+            SELECT vec_id,
+                   list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+            FROM embeddings
+        ),
+        proj AS (
+            SELECT vec_id, qv,
+                   {projs}
+            FROM v
+        ),
+        buck AS (SELECT vec_id, qv, concat({bucket}) AS bucket FROM proj),
+        cand AS (
+            SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                   CAST(list_sum(list_transform(range(1, len(a.qv) + 1),
+                        i -> a.qv[i] * b.qv[i])) AS DOUBLE)
+                   / sqrt(CAST(list_sum(list_transform(a.qv, x -> x * x))
+                          * list_sum(list_transform(b.qv, x -> x * x)) AS DOUBLE)) AS cosine
+            FROM buck a JOIN buck b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+        ),
+        ranked AS (
+            SELECT query_id, neighbor_id, cosine,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY cosine DESC, neighbor_id) AS rank
+            FROM cand
+        )
+        SELECT query_id, neighbor_id, rank, round(cosine, 6) AS cosine_r6
+        FROM ranked WHERE rank <= {k}
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -413,13 +509,15 @@ def oracle_sql() -> dict[str, str]:
         "lineitem_stats": """
             SELECT 'l_quantity' AS "column", count(*) AS count,
                    sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS nulls,
-                   round(avg(l_quantity), 6) AS mean_r6,
+                   round(CAST(sum(CAST(l_quantity AS DECIMAL(38,12))) AS DOUBLE)
+                         / count(l_quantity), 6) AS mean_r6,
                    min(l_quantity) AS min_v, max(l_quantity) AS max_v
             FROM lineitem
             UNION ALL
             SELECT 'l_extendedprice', count(*),
                    sum(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END),
-                   round(avg(l_extendedprice), 6),
+                   round(CAST(sum(CAST(l_extendedprice AS DECIMAL(38,12))) AS DOUBLE)
+                         / count(l_extendedprice), 6),
                    min(l_extendedprice), max(l_extendedprice)
             FROM lineitem
         """,
@@ -456,11 +554,11 @@ def oracle_sql() -> dict[str, str]:
         "user_sessions": """
             WITH g AS (
                 SELECT user_id,
-                       epoch(ts) - lag(epoch(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+                       epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
                 FROM events
             )
             SELECT user_id, count(*) AS n_events,
-                   sum(CASE WHEN gap IS NULL OR gap > 3600 THEN 1 ELSE 0 END) AS n_sessions
+                   sum(CASE WHEN gap IS NULL OR gap > 3600000000 THEN 1 ELSE 0 END) AS n_sessions
             FROM g GROUP BY user_id
         """,
         "event_windows": """
@@ -524,10 +622,17 @@ def oracle_sql() -> dict[str, str]:
         """,
         "jaccard_pairs": f"""
             WITH {_SHINGLES_CTE},
-            sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+            -- frequency cut (mirror of max_shingle_freq=1000): drop shingles
+            -- shared by more than 1000 docs before the self-join
+            shc AS (
+                SELECT sh.doc_id, sh.shingle FROM sh
+                JOIN (SELECT shingle FROM sh GROUP BY shingle
+                      HAVING count(*) <= 1000) f USING (shingle)
+            ),
+            sizes AS (SELECT doc_id, count(*) AS n_sh FROM shc GROUP BY doc_id),
             common AS (
                 SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
-                FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
                 GROUP BY a.doc_id, b.doc_id
             )
             SELECT id_a, id_b,
@@ -563,5 +668,81 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT query_id, neighbor_id, rank, round(cosine, 6) AS cosine_r6
             FROM ranked WHERE rank <= 5
+        """,
+        "simhash": f"WITH {_SIMHASH_SIG_CTE} SELECT doc_id, simhash FROM sig",
+        "simhash_near_pairs": f"""
+            -- brute-force pair scan: the oracle checks the banded Spark path
+            -- against exhaustive hamming distance (feasible at sf0.01)
+            WITH {_SIMHASH_SIG_CTE}
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   bit_count(xor(a.simhash, b.simhash)) AS hamming
+            FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.simhash, b.simhash)) <= 20
+        """,
+        "minhash_lsh_candidates": f"""
+            WITH {_SHINGLES_CTE},
+            h AS (
+                SELECT doc_id, {_MD5_INT.format(x='shingle')} % 2147483647 AS hv
+                FROM sh
+            ),
+            sg AS (
+                SELECT doc_id, perm, min((a * hv + b) % 2147483647) AS mh
+                FROM h, {_MINHASH_PERMS8}
+                GROUP BY doc_id, perm
+            ),
+            banded AS (
+                SELECT doc_id, perm // 2 AS band,
+                       string_agg(mh::VARCHAR, '_' ORDER BY perm) AS bucket
+                FROM sg GROUP BY doc_id, perm // 2
+            )
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM banded a
+            JOIN banded b ON a.band = b.band AND a.bucket = b.bucket
+                         AND a.doc_id < b.doc_id
+        """,
+        "lsh_topk": _lsh_topk_oracle(),
+        "drift_events": """
+            WITH ref AS (SELECT CAST(value AS DOUBLE) AS v FROM events
+                         WHERE event_type = 'click' AND value IS NOT NULL),
+            cur AS (SELECT CAST(value AS DOUBLE) AS v FROM events
+                    WHERE event_type = 'purchase' AND value IS NOT NULL),
+            b0 AS (SELECT min(v) AS lo0, max(v) AS hi0 FROM ref),
+            b AS (SELECT lo0 AS lo,
+                         CASE WHEN lo0 = hi0 THEN lo0 + 1.0 ELSE hi0 END AS hi
+                  FROM b0),
+            hr AS (SELECT CASE WHEN v < lo THEN 0 WHEN v >= hi THEN 65
+                               ELSE CAST(floor(((v - lo) / (hi - lo)) * 64) AS INT) + 1
+                          END AS bucket, count(*) AS n
+                   FROM ref, b GROUP BY 1),
+            hc AS (SELECT CASE WHEN v < lo THEN 0 WHEN v >= hi THEN 65
+                               ELSE CAST(floor(((v - lo) / (hi - lo)) * 64) AS INT) + 1
+                          END AS bucket, count(*) AS n
+                   FROM cur, b GROUP BY 1),
+            grid AS (SELECT coalesce(hr.bucket, hc.bucket) AS bucket,
+                            coalesce(hr.n, 0) AS nr, coalesce(hc.n, 0) AS nc
+                     FROM hr FULL OUTER JOIN hc ON hr.bucket = hc.bucket),
+            tot AS (SELECT (SELECT count(*) FROM ref) AS n_ref,
+                           (SELECT count(*) FROM cur) AS n_cur),
+            cums AS (SELECT bucket, nr, nc,
+                            sum(nr) OVER (ORDER BY bucket) AS cr,
+                            sum(nc) OVER (ORDER BY bucket) AS cc
+                     FROM grid),
+            kst AS (SELECT max(abs(CAST(cr AS DOUBLE) / n_ref
+                                   - CAST(cc AS DOUBLE) / n_cur)) AS ks
+                    FROM cums, tot),
+            psit AS (SELECT sum((greatest(CAST(nr AS DOUBLE) / n_ref, 1e-6)
+                                 - greatest(CAST(nc AS DOUBLE) / n_cur, 1e-6))
+                                * ln(greatest(CAST(nr AS DOUBLE) / n_ref, 1e-6)
+                                     / greatest(CAST(nc AS DOUBLE) / n_cur, 1e-6))) AS psi
+                     FROM grid, tot)
+            SELECT 'value' AS "column", n_ref AS n_reference, n_cur AS n_current,
+                   round(ks, 6) AS ks, round(psi, 6) AS psi
+            FROM tot, kst, psit
+        """,
+        "detect_mode": """
+            SELECT event_id,
+                   (CAST(json_extract_string(props, '$.k') AS BIGINT) % 4)
+                       NOT IN (1, 2) AS is_valid
+            FROM (SELECT * FROM events ORDER BY event_id LIMIT 500)
         """,
     }

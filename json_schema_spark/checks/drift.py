@@ -23,11 +23,23 @@ from pyspark.sql import DataFrame, functions as F
 EPS = 1e-6
 
 
+def bucket_expr(v: F.Column, lo: float, hi: float, bins: int) -> F.Column:
+    """Equi-width bucket 0..bins+1 via the explicit floor formula (the exact
+    double-op sequence is reproducible in any engine, unlike width_bucket
+    whose edge rounding is engine-specific): underflow → 0, overflow/at-hi
+    → bins+1, else floor(((v - lo) / (hi - lo)) * bins) + 1."""
+    return (
+        F.when(v < lo, F.lit(0))
+        .when(v >= hi, F.lit(bins + 1))
+        .otherwise(F.floor(((v - F.lit(lo)) / F.lit(hi - lo)) * bins).cast("int") + 1)
+    )
+
+
 def _histogram(df: DataFrame, col: str, lo: float, hi: float, bins: int) -> List[int]:
     """Counts per bucket 0..bins+1 (0 = underflow, bins+1 = overflow).
     One groupBy over ≤ bins+2 keys — partial agg makes this a constant-size
     shuffle."""
-    bucket = F.width_bucket(F.col(col).cast("double"), F.lit(lo), F.lit(hi), F.lit(bins))
+    bucket = bucket_expr(F.col(col).cast("double"), lo, hi, bins)
     rows = (
         df.where(F.col(col).isNotNull())
         .groupBy(bucket.alias("bucket"))
@@ -60,15 +72,18 @@ def drift_report(reference: DataFrame, current: DataFrame, col: str,
     n_ref = sum(h_ref) or 1
     n_cur = sum(h_cur) or 1
 
+    # CDFs accumulate as exact integer counts (one double division per
+    # bucket) — no float-summation-order sensitivity, so the KS statistic is
+    # bit-reproducible in any engine (the DuckDB oracle recomputes it)
     ks = 0.0
-    cdf_r = cdf_c = 0.0
+    cum_r = cum_c = 0
     psi = 0.0
     for i in range(len(h_ref)):
         p = h_ref[i] / n_ref
         q = h_cur[i] / n_cur
-        cdf_r += p
-        cdf_c += q
-        ks = max(ks, abs(cdf_r - cdf_c))
+        cum_r += h_ref[i]
+        cum_c += h_cur[i]
+        ks = max(ks, abs(cum_r / n_ref - cum_c / n_cur))
         p_c, q_c = max(p, EPS), max(q, EPS)
         psi += (p_c - q_c) * math.log(p_c / q_c)
 

@@ -27,10 +27,16 @@ def column_stats(df: DataFrame, cols: Optional[List[str]] = None,
     for c in cols:
         dt = dict((f.name, f.dataType.simpleString()) for f in df.schema.fields)[c]
         is_num = any(dt.startswith(k) for k in numeric_kinds)
+        # mean = exact decimal sum / count: parallel double summation is
+        # order-dependent (CORRECTNESS_r01 lineitem_stats hash fail vs the
+        # DuckDB oracle); decimal accumulation is exact at any parallelism,
+        # and the one final division is deterministic IEEE
+        exact_mean = (F.sum(F.col(c).cast("decimal(38,12)")).cast("double")
+                      / F.count(F.col(c)))
         aggs.extend([
             F.count(F.lit(1)).alias(f"{c}__count"),
             F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__nulls"),
-            (F.avg(c) if is_num else F.lit(None).cast("double")).alias(f"{c}__mean"),
+            (exact_mean if is_num else F.lit(None).cast("double")).alias(f"{c}__mean"),
             (F.stddev_pop(c) if is_num else F.lit(None).cast("double")).alias(f"{c}__stddev"),
             F.min(c).cast("string").alias(f"{c}__min"),
             F.max(c).cast("string").alias(f"{c}__max"),

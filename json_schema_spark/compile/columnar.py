@@ -349,6 +349,7 @@ class ColumnarCompiler:
 
         additional = schema.additional_items
         parts: List[Optional[Compiled]] = []
+        pos_guard = f"(NOT {too_few})"
         if additional is False:
             too_many = f"(({size} > {n}) AND NOT {too_few})"
             too_many_msg = concat(
@@ -358,6 +359,10 @@ class ColumnarCompiler:
                 sql_str(" supplied."),
             )
             parts.append(_fail(too_many, path, "max_items_failed", schema.pointer, too_many_msg))
+            # reference early-returns on the size violation (validator.rb
+            # elsif branch): positional subschemas are NOT checked when the
+            # array is over-long and additionalItems is false
+            pos_guard = f"(NOT {too_few} AND NOT ({size} > {n}))"
         elif isinstance(additional, SchemaNode):
             x, i = self._fresh("x"), self._fresh("i")
             child = self._node(additional, value.wrap_element(x),
@@ -378,7 +383,7 @@ class ColumnarCompiler:
             elem = fn("element_at", elems, str(idx + 1))
             c = self._node(sub, value.wrap_element(elem),
                            concat(path, sql_str(f"/{idx}")), stack)
-            pos_parts.append(_guard(f"(NOT {too_few})", c))
+            pos_parts.append(_guard(pos_guard, c))
 
         return _combine([too_few_part] + parts + pos_parts)
 
@@ -414,35 +419,79 @@ class ColumnarCompiler:
 
     # --- number -------------------------------------------------------------
 
+    def _num_compare(self, value: Value, op: str, bound) -> str:
+        """Comparison text. Integral bounds compare in decimal(38,12) when the
+        data is an integer — Ruby uses exact Integer arithmetic, and a double
+        cast loses precision past 2^53 (e.g. 9007199254740993). True-float
+        data keeps the double path (Ruby Float semantics)."""
+        dbl = f"({value.as_double()} {op} {float(bound)!r})"
+        if not isinstance(bound, int) or isinstance(bound, bool):
+            return dbl
+        dec = f"({value.as_decimal()} {op} {bound!r})"
+        is_int = value.is_type("integer")
+        if is_int is True:
+            return dec
+        if is_int is False:
+            return dbl
+        return iff(is_int, dec, dbl)
+
     def _max(self, schema: SchemaNode, value: Value, path: str) -> Compiled:
-        num = value.as_double()
         exclusive = bool(schema.max_exclusive)
         op = "<" if exclusive else "<="
         eq = "" if exclusive else " or equal to"
         message = concat(value.render_to_s(),
                          sql_str(f" must be less than{eq} {ruby_to_s(schema.max)}."))
-        return _fail(f"(NOT ({num} {op} {schema.max!r}))", path, "max_failed",
-                     schema.pointer, message)
+        return _fail(f"(NOT {self._num_compare(value, op, schema.max)})", path,
+                     "max_failed", schema.pointer, message)
 
     def _min(self, schema: SchemaNode, value: Value, path: str) -> Compiled:
-        num = value.as_double()
         exclusive = bool(schema.min_exclusive)
         op = ">" if exclusive else ">="
         eq = "" if exclusive else " or equal to"
         message = concat(value.render_to_s(),
                          sql_str(f" must be greater than{eq} {ruby_to_s(schema.min)}."))
-        return _fail(f"(NOT ({num} {op} {schema.min!r}))", path, "min_failed",
-                     schema.pointer, message)
+        return _fail(f"(NOT {self._num_compare(value, op, schema.min)})", path,
+                     "min_failed", schema.pointer, message)
 
     def _multiple_of(self, schema: SchemaNode, value: Value, path: str) -> Compiled:
         # Ruby Float#% is IEEE fmod with divisor-sign semantics; pmod on
-        # doubles produces identical zero/non-zero verdicts (SURVEY.md §7.3)
-        rem = fn("pmod", value.as_double(), repr(float(schema.multiple_of)))
+        # doubles produces identical zero/non-zero verdicts for float
+        # operands (SURVEY.md §7.3). Integer data against an integer divisor
+        # uses exact decimal remainder instead: doubles misclassify int64
+        # beyond 2^53 (9007199254740993 % 2 -> pmod 0 in double).
+        m = schema.multiple_of
+        rem_dbl = f"({fn('pmod', value.as_double(), repr(float(m)))} <> 0.0d)"
+        if isinstance(m, int) and not isinstance(m, bool):
+            rem_dec = f"({fn('pmod', value.as_decimal(), repr(m))} <> 0)"
+            is_int = value.is_type("integer")
+            if is_int is True:
+                cond = rem_dec
+            elif is_int is False:
+                cond = rem_dbl
+            else:
+                cond = iff(is_int, rem_dec, rem_dbl)
+        else:
+            cond = rem_dbl
         message = concat(value.render_to_s(),
-                         sql_str(f" is not a multiple of {ruby_to_s(schema.multiple_of)}."))
-        return _fail(f"({rem} <> 0.0d)", path, "multiple_of_failed", schema.pointer, message)
+                         sql_str(f" is not a multiple of {ruby_to_s(m)}."))
+        return _fail(cond, path, "multiple_of_failed", schema.pointer, message)
 
     # --- object ---------------------------------------------------------------
+
+    def _key_is_extra(self, schema: SchemaNode, key: str) -> bool:
+        """Compile-time version of _extra_keys_filter for statically-known
+        keys (typed structs)."""
+        import re
+
+        if schema.properties and key in schema.properties:
+            return False
+        for pattern in (schema.pattern_properties or {}):
+            try:
+                if re.search(pattern, key):
+                    return False
+            except re.error:
+                continue
+        return True
 
     def _extra_keys_filter(self, schema: SchemaNode, key_expr: str) -> str:
         """Predicate text: key not covered by properties/patternProperties
@@ -477,6 +526,17 @@ class ColumnarCompiler:
     def _additional_properties(self, schema: SchemaNode, value: Value, path: str, stack) -> Compiled:
         ap = schema.additional_properties
         if isinstance(ap, SchemaNode):
+            ents = value.static_object_entries()
+            if ents is not None:
+                # typed struct: the key set is static — expand per extra
+                # field, preserving each field's type
+                parts = [
+                    _guard(has, self._node(ap, child_val,
+                                           concat(path, sql_str(f"/{key}")), stack))
+                    for key, has, child_val in ents
+                    if self._key_is_extra(schema, key)
+                ]
+                return _combine(parts) if parts else TRIVIAL
             e = self._fresh("e")
             entries = fn("map_entries", value.object_map())
             extra = fn("filter", entries,
@@ -532,6 +592,23 @@ class ColumnarCompiler:
 
     def _pattern_properties_parts(self, schema: SchemaNode, value: Value,
                                   path: str, stack) -> List[Compiled]:
+        ents = value.static_object_entries()
+        if ents is not None:
+            import re
+
+            parts = []
+            for pattern, sub in schema.pattern_properties.items():
+                if not isinstance(sub, SchemaNode):
+                    continue
+                for key, has, child_val in ents:
+                    try:
+                        matched = re.search(pattern, key) is not None
+                    except re.error:
+                        matched = False
+                    if matched:
+                        parts.append(_guard(has, self._node(
+                            sub, child_val, concat(path, sql_str(f"/{key}")), stack)))
+            return [p for p in parts if p is not None]
         entries = fn("map_entries", value.object_map())
         parts: List[Compiled] = []
         for pattern, sub in schema.pattern_properties.items():

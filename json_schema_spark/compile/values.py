@@ -98,6 +98,13 @@ class Value:
         """Optional fast path for property counting; None → size(object_keys())."""
         return None
 
+    def static_object_entries(self):
+        """None, or a compile-time list of (key, has_cond, child Value) when
+        the object's key set is statically known (typed struct) — lets the
+        compiler expand additionalProperties/patternProperties per field,
+        preserving each field's type."""
+        return None
+
 
 def _ruby_num_string(decimal_expr: str, is_integer: BoolLike) -> str:
     """Render a numeric value the way Ruby #to_s would: integers bare, floats
@@ -237,15 +244,13 @@ class VariantValue(Value):
         )
 
     def eq_literal(self, literal) -> str:
-        # Deep equality via the JSON rendering of the variant. Numeric
-        # literals normalize trailing ".0" the same way to_json does
-        # (to_json(variant 4.0) == "4"), matching Ruby's 4 == 4.0.
-        if isinstance(literal, float) and literal == int(literal) and abs(literal) < 1e15:
-            canon = _json.dumps(int(literal))
-        elif isinstance(literal, float):
-            canon = repr(literal)
-        else:
-            canon = _json.dumps(literal, ensure_ascii=False, separators=(",", ":"))
+        # Deep equality via the JSON rendering of the variant, which sorts
+        # object keys and renders integral decimals bare (4.0 -> 4). The
+        # literal is canonicalized the same way — recursively — so composite
+        # enum members match regardless of source key order or 4-vs-4.0
+        # (Ruby include? is order-insensitive deep equality).
+        canon = _json.dumps(_canon_literal(literal), ensure_ascii=False,
+                            separators=(",", ":"), sort_keys=True)
         return f"coalesce(to_json({self.expr}) = {sql_str(canon)}, false)"
 
     def canonical_json(self) -> str:
@@ -269,6 +274,21 @@ def variant_sql_udf_ddl() -> list:
         "CREATE OR REPLACE TEMPORARY FUNCTION jss_to_s(v VARIANT) RETURNS STRING RETURN "
         + v.render_to_s_body(),
     ]
+
+
+def _canon_literal(v):
+    """Canonicalize a Python JSON literal the way ``to_json(parse_json(...))``
+    renders it: integral floats become bare integers (4.0 -> 4) and object
+    keys sort recursively (dict order is irrelevant to deep equality)."""
+    if isinstance(v, bool):
+        return v
+    if isinstance(v, float) and v == int(v) and abs(v) < 1e15:
+        return int(v)
+    if isinstance(v, dict):
+        return {k: _canon_literal(x) for k, x in v.items()}
+    if isinstance(v, list):
+        return [_canon_literal(x) for x in v]
+    return v
 
 
 def _rubyish_json(json_expr: str) -> str:
@@ -385,8 +405,21 @@ class TypedValue(Value):
         return has
 
     def wrap_map_value(self, value_expr: str) -> "Value":
-        assert isinstance(self.dtype, T.MapType)
+        if not isinstance(self.dtype, T.MapType):
+            raise TypeError(
+                "wrap_map_value over a non-map typed value: struct-typed "
+                "objects take the static_object_entries path")
         return TypedValue(value_expr, self.dtype.valueType)
+
+    def static_object_entries(self):
+        if not isinstance(self.dtype, T.StructType):
+            return None
+        return [
+            (f.name,
+             f"({self.expr}.{_q(f.name)} IS NOT NULL)",
+             TypedValue(f"{self.expr}.{_q(f.name)}", f.dataType))
+            for f in self.dtype.fields
+        ]
 
     def missing_required(self, required: list):
         """Struct fast path: 'required' over a typed struct is a chain of

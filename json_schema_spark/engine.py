@@ -227,6 +227,10 @@ class ValidationEngine:
                 or node.min_properties is not None
                 or node.pattern_properties
                 or node.all_of or node.any_of or node.one_of or node.not_ is not None
+                # a schema-form dependency re-validates the whole root object:
+                # its required/properties targets must survive pruning
+                or any(isinstance(dep, SchemaNode)
+                       for dep in (node.dependencies or {}).values())
             )
             if not needs_all:
                 touched = set(node.required or []) | set((node.properties or {}).keys())

@@ -78,9 +78,15 @@ def shingles(df: DataFrame, n: int = 3, text_col: str = "text",
 
 def jaccard_pairs(df: DataFrame, n: int = 3, threshold: float = 0.5,
                   text_col: str = "text", id_col: str = "doc_id",
-                  max_shingle_freq: Optional[int] = None) -> DataFrame:
+                  max_shingle_freq: Optional[int] = 1000) -> DataFrame:
     """(id_a, id_b, jaccard) for pairs above threshold, id_a < id_b.
-    Exact integer set arithmetic → deterministic across engines."""
+    Exact integer set arithmetic → deterministic across engines.
+
+    ``max_shingle_freq`` (default 1000) drops shingles shared by more than
+    that many documents before the self-join — the frequency cut that bounds
+    the join's worst-case fan-out to max_shingle_freq² per hot shingle
+    instead of corpus². Pass None to disable (exact, but quadratic on hot
+    shingles — calibration only)."""
     sh = shingles(df, n, text_col, id_col)
     if max_shingle_freq is not None:
         freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("f"))
@@ -158,11 +164,16 @@ def minhash_lsh_candidates(df: DataFrame, n: int = 3, num_hashes: int = 8,
     )
 
 
-def simhash(df: DataFrame, bits: int = 64, text_col: str = "text",
+def simhash(df: DataFrame, bits: int = 60, text_col: str = "text",
             id_col: str = "doc_id") -> DataFrame:
-    """(id, simhash: bigint) sign-aggregated token-hash fingerprint."""
+    """(id, simhash: bigint) sign-aggregated token-hash fingerprint.
+
+    Token hashing is the portable 60-bit md5 prefix (identical in any engine
+    with md5 — the DuckDB oracle reproduces signatures bit-for-bit), so
+    ``bits`` is capped at 60."""
+    bits = min(bits, 60)
     toks = F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("tok")
-    per_tok = df.select(F.col(id_col), toks).withColumn("h", F.xxhash64("tok"))
+    per_tok = df.select(F.col(id_col), toks).withColumn("h", md5_int(F.col("tok")))
     # sum the ±1 contribution of each token per bit, then take signs
     bit_sums = per_tok.groupBy(id_col).agg(*[
         F.sum(F.when(F.shiftright("h", b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)).alias(f"b{b}")
@@ -171,22 +182,50 @@ def simhash(df: DataFrame, bits: int = 64, text_col: str = "text",
     sig = None
     for b in range(bits):
         contrib = F.when(F.col(f"b{b}") > 0,
-                         F.shiftleft(F.lit(1).cast("bigint"), b)).otherwise(F.lit(0).cast("bigint"))
+                         F.lit(1 << b).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
         sig = contrib if sig is None else sig.bitwiseOR(contrib)
     return bit_sums.select(id_col, sig.alias("simhash"))
 
 
 def simhash_near_pairs(df: DataFrame, max_hamming: int = 8,
-                       text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Near-dup pairs by SimHash hamming distance (brute pair join — use
-    band-prefix buckets for the scale path)."""
-    sigs = simhash(df, 64, text_col, id_col)
-    a = sigs.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sa"))
-    b = sigs.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("sb"))
+                       text_col: str = "text", id_col: str = "doc_id",
+                       bits: int = 60) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance, via hamming-ball banding:
+    split the signature into ``max_hamming + 1`` bit-bands — any pair within
+    ``max_hamming`` must agree exactly on at least one band (pigeonhole), so
+    the join fans out per (band, band-value) bucket instead of per corpus.
+    Candidates are then exact-filtered on full hamming distance."""
+    bits = min(bits, 60)
+    n_bands = max_hamming + 1
+    if n_bands > bits:
+        raise ValueError("max_hamming + 1 bands need at least that many bits")
+    sigs = simhash(df, bits, text_col, id_col)
+    # distribute the bit positions evenly: every band must be non-empty for
+    # the pigeonhole guarantee, and none may cover only always-zero high bits
+    # (that band would put the whole corpus in one bucket)
+    edges = [bi * bits // n_bands for bi in range(n_bands + 1)]
+
+    def banded(d, id_alias, sig_alias):
+        bands = F.array(*[
+            F.struct(
+                F.lit(bi).alias("band"),
+                F.shiftright(F.col("simhash"), edges[bi])
+                .bitwiseAND(F.lit((1 << (edges[bi + 1] - edges[bi])) - 1)).alias("bval"),
+            )
+            for bi in range(n_bands)
+        ])
+        return d.select(
+            F.col(id_col).alias(id_alias), F.col("simhash").alias(sig_alias),
+            F.explode(bands).alias("bb"),
+        ).select(id_alias, sig_alias, "bb.band", "bb.bval")
+
+    a = banded(sigs, "id_a", "sa")
+    b = banded(sigs, "id_b", "sb")
     return (
-        a.crossJoin(b)
+        a.join(b, ["band", "bval"])
         .where(F.col("id_a") < F.col("id_b"))
         .withColumn("hamming", F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))))
         .where(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
+        .distinct()
     )

@@ -47,8 +47,10 @@ def cosine_topk(embeddings: DataFrame, k: int = 5,
         quantize(F.col(vec_col), q).alias("qv"),
     ).withColumn("qq", _dot(F.col("qv"), F.col("qv")))
 
+    # broadcast the QUERY side (bounded: a calibration/query set), stream the
+    # corpus — broadcasting the corpus side OOMs at any real scale
     scored = (
-        qdf.crossJoin(F.broadcast(base))
+        base.crossJoin(F.broadcast(qdf))
         .where(F.col("query_id") != F.col("neighbor_id"))
         .withColumn(
             "cosine",
@@ -67,23 +69,34 @@ def cosine_topk(embeddings: DataFrame, k: int = 5,
     )
 
 
+def _plane_sign(seed: int, plane: int, dim_col: F.Column) -> F.Column:
+    """Deterministic ±1 hyperplane component from the portable 60-bit md5
+    prefix of 'hp_<seed>_<plane>_<dim>' — identical in any engine with md5
+    (the DuckDB oracle reproduces buckets bit-for-bit), no driver-side
+    randomness, reproducible at any parallelism."""
+    key = F.concat(F.lit(f"hp_{seed}_{plane}_"), dim_col.cast("string"))
+    h = F.conv(F.substring(F.md5(key), 1, 15), 16, 10).cast("bigint")
+    return F.when(F.pmod(h, F.lit(2)) == 0, F.lit(1).cast("bigint")) \
+            .otherwise(F.lit(-1).cast("bigint"))
+
+
 def hyperplane_buckets(embeddings: DataFrame, planes: int = 8,
                        id_col: str = "vec_id", vec_col: str = "embedding",
-                       seed: int = 42) -> DataFrame:
-    """(id, bucket) random-hyperplane LSH signature. Hyperplane components
-    are deterministic ±1 derived from xxhash64(plane, dim) — no driver-side
-    randomness, reproducible at any parallelism."""
+                       seed: int = 42, q: int = 1000) -> DataFrame:
+    """(id, bucket) random-hyperplane LSH signature over the *quantized*
+    vector: the projection is an exact integer dot product, so the bucket is
+    deterministic regardless of engine or summation order."""
     dims = F.size(F.col(vec_col))
+    qv = quantize(F.col(vec_col), q)
+
+    def term(p):
+        return lambda x, i: x * _plane_sign(seed, p, i)
+
     bits = []
     for p in range(planes):
         proj = F.aggregate(
-            F.zip_with(
-                F.col(vec_col),
-                F.sequence(F.lit(0), dims - 1),
-                lambda x, i: x.cast("double")
-                * F.when(F.pmod(F.xxhash64(F.lit(seed), F.lit(p), i), 2) == 0, 1.0).otherwise(-1.0),
-            ),
-            F.lit(0.0),
+            F.zip_with(qv, F.sequence(F.lit(0), dims - 1), term(p)),
+            F.lit(0).cast("bigint"),
             lambda acc, x: acc + x,
         )
         bits.append(F.when(proj >= 0, F.lit("1")).otherwise(F.lit("0")))
@@ -96,7 +109,7 @@ def lsh_topk(embeddings: DataFrame, k: int = 5, planes: int = 8,
              q: int = 1000, seed: int = 42) -> DataFrame:
     """Approximate top-k: candidates restricted to the same hyperplane
     bucket, re-ranked by exact quantized cosine."""
-    b = hyperplane_buckets(embeddings, planes, id_col, vec_col, seed)
+    b = hyperplane_buckets(embeddings, planes, id_col, vec_col, seed, q)
     left = b.select(F.col(id_col).alias("query_id"), F.col("bucket"),
                     quantize(F.col(vec_col), q).alias("qv"))
     right = b.select(F.col(id_col).alias("neighbor_id"), F.col("bucket"),
