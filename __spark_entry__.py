@@ -48,6 +48,135 @@ PROPS_SCHEMA = {
     "properties": {"k": {"type": ["integer"], "minimum": 0, "maximum": 80}},
 }
 
+# Full-keyword scaffold (modelled on the reference's test scaffold,
+# test/data_scaffold.rb:8-240): exercises allOf/anyOf/oneOf/not, list+tuple
+# items, additionalItems, uniqueItems, min/maxItems, dependencies (simple +
+# schema), additionalProperties (schema), patternProperties, min/max
+# Properties, strictProperties, enum, pattern, formats (incl. the UDF-backed
+# `regex` format under `items`), min/max/multipleOf. 20 deterministic doc
+# variants keyed on doc_id % 20; the expected violation set per variant was
+# cross-derived from the clean-room reference-semantics oracle
+# (tests/oracle_validator.py) and is asserted row-for-row by the DuckDB
+# oracle below.
+SCAFFOLD_SCHEMA = {
+    "$schema": "http://json-schema.org/draft-04/schema#",
+    "type": ["object"],
+    "definitions": {"tag": {"type": ["string"], "minLength": 2, "maxLength": 10}},
+    "allOf": [{"required": ["name"]}],
+    "anyOf": [{"required": ["size"]}, {"required": ["coords"]}],
+    "oneOf": [{"required": ["owner"]}, {"required": ["org"]}],
+    "not": {"required": ["forbidden"]},
+    "required": ["name", "visibility"],
+    "properties": {
+        "name": {"type": ["string"], "pattern": "^[a-z][a-z0-9-]*$",
+                 "minLength": 3, "maxLength": 30},
+        "visibility": {"enum": ["public", "private"]},
+        "tags": {"type": ["array"], "items": {"$ref": "#/definitions/tag"},
+                 "uniqueItems": True, "minItems": 1, "maxItems": 5},
+        "coords": {"items": [{"type": ["integer"]}, {"type": ["integer"]}],
+                   "additionalItems": False},
+        "size": {"type": ["number"], "minimum": 0, "maximum": 100, "multipleOf": 0.5},
+        "ssl": {"type": ["boolean"]},
+        "cert": {"type": ["string"]},
+        "email": {"type": ["string"], "format": "email"},
+        "re": {"type": ["string"], "format": "regex"},
+        "res": {"type": ["array"], "items": {"type": ["string"], "format": "regex"}},
+        "owner": {"type": ["string"]},
+        "org": {"type": ["string"]},
+        "config": {"type": ["object"], "additionalProperties": {"type": ["integer"]},
+                   "minProperties": 1, "maxProperties": 3},
+        "strict": {"type": ["object"],
+                   "properties": {"a": {"type": ["integer"]}, "b": {"type": ["integer"]}},
+                   "strictProperties": True},
+    },
+    "patternProperties": {"^meta_": {"type": ["integer"], "minimum": 0}},
+    "dependencies": {"ssl": ["cert"], "coords": {"required": ["size"]}},
+}
+
+
+def _scaffold_docs() -> list:
+    """The 20 deterministic document variants (JSON strings), indexed by
+    doc_id % 20. Variant 0 is fully valid; each other variant trips exactly
+    the keyword(s) listed in _SCAFFOLD_EXPECTED."""
+    import json as _json
+
+    docs = []
+    for v in range(20):
+        d = {"name": "doc-x", "visibility": "public", "size": 4.5,
+             "owner": "me", "tags": ["alpha", "beta"]}
+        if v == 1:
+            d["name"] = "Doc"
+        elif v == 2:
+            d["visibility"] = "hidden"
+        elif v == 3:
+            del d["name"]
+        elif v == 4:
+            d["tags"] = ["alpha", "alpha"]
+        elif v == 5:
+            d["tags"] = ["a"]
+        elif v == 6:
+            d["coords"] = [1, 2, 3]
+        elif v == 7:
+            del d["size"]
+            d["coords"] = [1, "x"]
+        elif v == 8:
+            d["size"] = 4.3
+        elif v == 9:
+            d["ssl"] = True
+        elif v == 10:
+            d["meta_n"] = -5
+        elif v == 11:
+            d["email"] = "bad"
+            d["re"] = "("
+            d["res"] = ["(", "ok.*"]
+        elif v == 12:
+            d["config"] = {"a": 1, "b": 2, "c": 3, "d": 4}
+        elif v == 13:
+            d["config"] = {"a": "x"}
+        elif v == 14:
+            d["forbidden"] = "x"
+        elif v == 15:
+            d["org"] = "corp"
+        elif v == 16:
+            d["strict"] = {"a": 1}
+        elif v == 17:
+            d["strict"] = {"a": 1, "b": 2, "c": 3}
+        elif v == 18:
+            d["tags"] = []
+        elif v == 19:
+            d["size"] = 150.0
+        docs.append(_json.dumps(d))
+    return docs
+
+
+# (variant, path, error_type) — cross-derived from tests/oracle_validator.py
+_SCAFFOLD_EXPECTED = [
+    (1, "#/name", "pattern_failed"),
+    (2, "#/visibility", "invalid_type"),
+    (3, "#", "required_failed"),        # allOf child {required: [name]}
+    (3, "#", "all_of_failed"),
+    (3, "#", "required_failed"),        # root required
+    (4, "#/tags", "unique_items_failed"),
+    (5, "#/tags/0", "min_length_failed"),
+    (6, "#/coords", "max_items_failed"),
+    (7, "#/coords/1", "invalid_type"),
+    (7, "#", "required_failed"),        # dependencies (schema form)
+    (8, "#/size", "multiple_of_failed"),
+    (9, "#", "required_failed"),        # dependencies (simple form)
+    (10, "#/meta_n", "min_failed"),
+    (11, "#/email", "invalid_format"),
+    (11, "#/re", "invalid_format"),
+    (11, "#/res/0", "invalid_format"),  # UDF format under items (lambda hoist)
+    (12, "#/config", "max_properties_failed"),
+    (13, "#/config/a", "invalid_type"),
+    (14, "#", "not_failed"),
+    (15, "#", "one_of_failed"),
+    (16, "#/strict", "required_failed"),
+    (17, "#/strict", "invalid_keys"),
+    (18, "#/tags", "min_items_failed"),
+    (19, "#/size", "max_failed"),
+]
+
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
@@ -82,6 +211,21 @@ def q_validate_props_json(spark, sf_dir):
     res = ValidationEngine(spark).validate_json(events, "props", PROPS_SCHEMA,
                                                 id_cols=["event_id"])
     return res.annotated.select("event_id", "is_valid")
+
+
+def q_scaffold_violations(spark, sf_dir):
+    """Full-keyword validation: every documents row becomes one of 20
+    deterministic scaffold docs (doc_id % 20) validated against
+    SCAFFOLD_SCHEMA — the driver-visible analog of the reference's
+    validator_test.rb keyword matrix."""
+    d = _t(spark, sf_dir, "documents")
+    docs = _scaffold_docs()
+    doc = F.element_at(F.array(*[F.lit(s) for s in docs]),
+                       (F.col("doc_id") % 20 + 1).cast("int"))
+    df = d.select("doc_id", doc.alias("doc"))
+    res = ValidationEngine(spark).validate_json(df, "doc", SCAFFOLD_SCHEMA,
+                                                id_cols=["doc_id"])
+    return res.violations.select("doc_id", "path", "error_type")
 
 
 def q_validation_summary(spark, sf_dir):
@@ -329,6 +473,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "validate_verdicts": q_validate_verdicts,
         "validate_violations": q_validate_violations,
         "validate_props_json": q_validate_props_json,
+        "scaffold_violations": q_scaffold_violations,
         "validation_summary": q_validation_summary,
         "duplicate_line_orders": q_duplicate_line_orders,
         "customers_without_orders": q_customers_without_orders,
@@ -490,6 +635,12 @@ def oracle_sql() -> dict[str, str]:
                     AND CAST(json_extract_string(props, '$.k') AS BIGINT) <= 80) AS is_valid
             FROM events
         """,
+        "scaffold_violations": (
+            "WITH expected(v, path, error_type) AS (VALUES "
+            + ", ".join(f"({v}, '{p}', '{t}')" for v, p, t in _SCAFFOLD_EXPECTED)
+            + ") SELECT d.doc_id, e.path, e.error_type "
+            + "FROM documents d JOIN expected e ON (d.doc_id % 20) = e.v"
+        ),
         "validation_summary": """
             SELECT path, error_type, count(*) AS n_violations FROM (
                 SELECT doc_id, '#/text' AS path, 'min_length_failed' AS error_type

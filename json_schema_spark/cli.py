@@ -38,7 +38,16 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--manifest", help="manifest path: enables resumable bucketed runs")
     p.add_argument("--n-buckets", type=int, default=64)
     p.add_argument("--fail-fast", action="store_true",
-                   help="verdict-only mode (no violation materialization)")
+                   help="report only the first error per document "
+                        "(reference fail_fast semantics)")
+    p.add_argument("--verdict-only", action="store_true",
+                   help="skip violation materialization entirely "
+                        "(cheapest mode; verdicts only)")
+    p.add_argument("--format", default="auto",
+                   choices=["auto", "parquet", "iceberg"],
+                   help="table format for --data and sinks (iceberg needs "
+                        "the runtime jar + catalog config; falls back to "
+                        "parquet paths otherwise)")
     p.add_argument("--master", default=None)
     return p
 
@@ -84,7 +93,9 @@ def main(argv=None) -> int:
         print(f"schema error: {exc}", file=sys.stderr)
         return 2
 
-    df = spark.read.parquet(args.data)
+    from .io_tables import read_table, write_table
+
+    df = read_table(spark, args.data, fmt=args.format)
     engine = ValidationEngine(spark)
 
     if args.manifest:
@@ -106,15 +117,20 @@ def main(argv=None) -> int:
     if args.json_col:
         result = engine.validate_json(df, args.json_col, schema,
                                       id_cols=[args.id_col], store=store,
-                                      verdict_only=args.fail_fast)
+                                      verdict_only=args.verdict_only,
+                                      fail_fast=args.fail_fast)
     else:
         result = engine.validate_typed(df, schema, id_cols=[args.id_col],
-                                       store=store, verdict_only=args.fail_fast)
+                                       store=store,
+                                       verdict_only=args.verdict_only,
+                                       fail_fast=args.fail_fast)
 
-    if args.violations and not args.fail_fast:
-        result.violations.write.mode("overwrite").parquet(args.violations)
+    if args.violations and not args.verdict_only:
+        write_table(result.violations, args.violations, fmt=args.format,
+                    mode="overwrite")
     if args.verdicts:
-        result.verdicts.write.mode("overwrite").parquet(args.verdicts)
+        write_table(result.verdicts, args.verdicts, fmt=args.format,
+                    mode="overwrite")
 
     counts = result.counts()
     print(json.dumps(counts))

@@ -37,7 +37,8 @@ from .formats import format_check_sql
 from .sqlgen import and_all, concat, fn, iff, or_all, sql_str
 from .values import Value
 
-ERR_FIELDS = "path:string,error_type:string,schema_pointer:string,message:string,sub_errors:string"
+ERR_FIELDS = ("path:string,error_type:string,schema_pointer:string,"
+              "message:string,sub_errors:string,data_json:string")
 ERR_ARRAY_DDL = f"array<struct<{ERR_FIELDS}>>"
 EMPTY_ERRORS = "null"  # errors arrays use null-as-empty; engine coalesces once at the top
 
@@ -54,8 +55,10 @@ TRIVIAL = Compiled("true", EMPTY_ERRORS)
 
 
 def _error_struct(path: str, error_type: str, schema_pointer: str,
-                  message: str, sub_errors: Optional[str] = None) -> str:
+                  message: str, sub_errors: Optional[str] = None,
+                  data_json: Optional[str] = None) -> str:
     sub = sub_errors if sub_errors is not None else "cast(null as string)"
+    dj = data_json if data_json is not None else "cast(null as string)"
     return fn(
         "named_struct",
         "'path'", path,
@@ -63,14 +66,20 @@ def _error_struct(path: str, error_type: str, schema_pointer: str,
         "'schema_pointer'", sql_str(schema_pointer),
         "'message'", message,
         "'sub_errors'", sub,
+        "'data_json'", dj,
     )
 
 
 def _fail(cond: str, path: str, error_type: str, schema_pointer: str,
-          message: str, sub_errors: Optional[str] = None) -> Compiled:
-    """A keyword check: invalid (and one error row) exactly when cond."""
+          message: str, sub_errors: Optional[str] = None,
+          value: Optional[Value] = None) -> Compiled:
+    """A keyword check: invalid (and one error row) exactly when cond.
+    ``value`` supplies the offending datum (reference error.rb:39-59
+    ``error_data``), JSON-rendered into the row's data_json field."""
+    data_json = value.error_data_json() if value is not None else None
     err = iff(cond,
-              fn("array", _error_struct(path, error_type, schema_pointer, message, sub_errors)),
+              fn("array", _error_struct(path, error_type, schema_pointer,
+                                        message, sub_errors, data_json)),
               EMPTY_ERRORS)
     return Compiled(f"(NOT coalesce({cond}, false))", err)
 
@@ -151,6 +160,11 @@ class ColumnarCompiler:
             else configuration().max_ref_depth
         )
         self._var_counter = 0
+        # (column_name, sql) pairs the engine must project BEFORE evaluating
+        # the compiled parts: UDF-backed format checks under a higher-order
+        # lambda are hoisted here as whole-collection array columns (Python
+        # UDFs cannot run inside a lambda)
+        self.preprojections: List[tuple] = []
 
     def _fresh(self, prefix: str) -> str:
         self._var_counter += 1
@@ -269,9 +283,11 @@ class ColumnarCompiler:
         if configuration().all_of_sub_errors:
             sub = fn("to_json", fn("array", *[_coalesce_errors(c.errors) for c in children]))
             return _fail(f"(NOT {all_valid})", path, "all_of_failed", schema.pointer,
-                         sql_str('Not all subschemas of "allOf" matched.'), sub)
+                         sql_str('Not all subschemas of "allOf" matched.'), sub,
+                         value=value)
         parent = _fail(f"(NOT {all_valid})", path, "all_of_failed", schema.pointer,
-                       sql_str('Not all subschemas of "allOf" matched.'))
+                       sql_str('Not all subschemas of "allOf" matched.'),
+                       value=value)
         return _combine(children + [parent])
 
     def _any_of(self, schema: SchemaNode, value: Value, path: str, stack) -> Compiled:
@@ -279,7 +295,7 @@ class ColumnarCompiler:
         any_valid = or_all(c.valid for c in children)
         sub = fn("to_json", fn("array", *[_coalesce_errors(c.errors) for c in children]))
         return _fail(f"(NOT {any_valid})", path, "any_of_failed", schema.pointer,
-                     sql_str('No subschema in "anyOf" matched.'), sub)
+                     sql_str('No subschema in "anyOf" matched.'), sub, value=value)
 
     def _one_of(self, schema: SchemaNode, value: Value, path: str, stack) -> Compiled:
         children = [self._node(s, value, path, stack) for s in schema.one_of]
@@ -288,18 +304,18 @@ class ColumnarCompiler:
         message = iff(f"({num_valid} = 0)",
                       sql_str('No subschema in "oneOf" matched.'),
                       sql_str('More than one subschema in "oneOf" matched.'))
-        return _fail(f"({num_valid} <> 1)", path, "one_of_failed", schema.pointer, message, sub)
+        return _fail(f"({num_valid} <> 1)", path, "one_of_failed", schema.pointer, message, sub, value=value)
 
     def _not(self, schema: SchemaNode, value: Value, path: str, stack) -> Compiled:
         child = self._node(schema.not_, value, path, stack)
         return _fail(child.valid, path, "not_failed", schema.pointer,
-                     sql_str('Matched "not" subschema.'))
+                     sql_str('Matched "not" subschema.'), value=value)
 
     def _enum(self, schema: SchemaNode, value: Value, path: str) -> Compiled:
         member = or_all(value.eq_literal(v) for v in schema.enum)
         message = concat(value.render_to_s(),
                          sql_str(f" is not a member of {ruby_inspect(schema.enum)}."))
-        return _fail(f"(NOT {member})", path, "invalid_type", schema.pointer, message)
+        return _fail(f"(NOT {member})", path, "invalid_type", schema.pointer, message, value=value)
 
     def _type(self, schema: SchemaNode, value: Value, path: str) -> Compiled:
         matches: List[str] = []
@@ -314,7 +330,7 @@ class ColumnarCompiler:
         key = _find_parent(schema)
         message = concat(sql_str(f"For '{key}', "), value.render_inspect(),
                          sql_str(f" is not {to_list(schema.type)}."))
-        return _fail(cond, path, "invalid_type", schema.pointer, message)
+        return _fail(cond, path, "invalid_type", schema.pointer, message, value=value)
 
     # --- array ------------------------------------------------------------
 
@@ -325,7 +341,10 @@ class ColumnarCompiler:
         if schema.tuple_items is None:
             # list form: every element against one subschema (validator.rb:290-297)
             x, i = self._fresh("x"), self._fresh("i")
-            child = self._node(schema.items, value.wrap_element(x),
+            wrapped = value.wrap_element(x)
+            if not value.in_lambda:
+                wrapped.lam_ctx = (elems, x, i)
+            child = self._node(schema.items, wrapped,
                                concat(path, "'/'", f"cast({i} as string)"), stack)
             if child.valid == "true" and child.errors == EMPTY_ERRORS:
                 return TRIVIAL
@@ -345,7 +364,8 @@ class ColumnarCompiler:
             _plural_was_were(size),
             sql_str(" supplied."),
         )
-        too_few_part = _fail(too_few, path, "min_items_failed", schema.pointer, too_few_msg)
+        too_few_part = _fail(too_few, path, "min_items_failed", schema.pointer,
+                             too_few_msg, value=value)
 
         additional = schema.additional_items
         parts: List[Optional[Compiled]] = []
@@ -358,14 +378,18 @@ class ColumnarCompiler:
                 iff(f"({size} > 1)", "' were'", "' was'"),
                 sql_str(" supplied."),
             )
-            parts.append(_fail(too_many, path, "max_items_failed", schema.pointer, too_many_msg))
+            parts.append(_fail(too_many, path, "max_items_failed", schema.pointer,
+                               too_many_msg, value=value))
             # reference early-returns on the size violation (validator.rb
             # elsif branch): positional subschemas are NOT checked when the
             # array is over-long and additionalItems is false
             pos_guard = f"(NOT {too_few} AND NOT ({size} > {n}))"
         elif isinstance(additional, SchemaNode):
             x, i = self._fresh("x"), self._fresh("i")
-            child = self._node(additional, value.wrap_element(x),
+            wrapped = value.wrap_element(x)
+            if not value.in_lambda:
+                wrapped.lam_ctx = (elems, x, i)
+            child = self._node(additional, wrapped,
                                concat(path, "'/'", f"cast({i} as string)"), stack)
             if not (child.valid == "true" and child.errors == EMPTY_ERRORS):
                 extra_errors = (EMPTY_ERRORS if child.errors == EMPTY_ERRORS else
@@ -396,7 +420,7 @@ class ColumnarCompiler:
             _plural_was_were(size),
             sql_str(" supplied."),
         )
-        return _fail(f"({size} > {n})", path, "max_items_failed", schema.pointer, message)
+        return _fail(f"({size} > {n})", path, "max_items_failed", schema.pointer, message, value=value)
 
     def _min_items(self, schema: SchemaNode, value: Value, path: str) -> Compiled:
         size = fn("size", value.array_elements())
@@ -407,7 +431,7 @@ class ColumnarCompiler:
             _plural_was_were(size),
             sql_str(" supplied."),
         )
-        return _fail(f"({size} < {n})", path, "min_items_failed", schema.pointer, message)
+        return _fail(f"({size} < {n})", path, "min_items_failed", schema.pointer, message, value=value)
 
     def _unique_items(self, schema: SchemaNode, value: Value, path: str) -> Compiled:
         elems = value.array_elements()
@@ -415,7 +439,7 @@ class ColumnarCompiler:
         canon = fn("transform", elems, f"{x} -> {value.wrap_element(x).canonical_json()}")
         dup = f"(size({elems}) <> size(array_distinct({canon})))"
         return _fail(dup, path, "unique_items_failed", schema.pointer,
-                     sql_str("Duplicate items are not allowed."))
+                     sql_str("Duplicate items are not allowed."), value=value)
 
     # --- number -------------------------------------------------------------
 
@@ -442,7 +466,7 @@ class ColumnarCompiler:
         message = concat(value.render_to_s(),
                          sql_str(f" must be less than{eq} {ruby_to_s(schema.max)}."))
         return _fail(f"(NOT {self._num_compare(value, op, schema.max)})", path,
-                     "max_failed", schema.pointer, message)
+                     "max_failed", schema.pointer, message, value=value)
 
     def _min(self, schema: SchemaNode, value: Value, path: str) -> Compiled:
         exclusive = bool(schema.min_exclusive)
@@ -451,7 +475,7 @@ class ColumnarCompiler:
         message = concat(value.render_to_s(),
                          sql_str(f" must be greater than{eq} {ruby_to_s(schema.min)}."))
         return _fail(f"(NOT {self._num_compare(value, op, schema.min)})", path,
-                     "min_failed", schema.pointer, message)
+                     "min_failed", schema.pointer, message, value=value)
 
     def _multiple_of(self, schema: SchemaNode, value: Value, path: str) -> Compiled:
         # Ruby Float#% is IEEE fmod with divisor-sign semantics; pmod on
@@ -474,7 +498,7 @@ class ColumnarCompiler:
             cond = rem_dbl
         message = concat(value.render_to_s(),
                          sql_str(f" is not a multiple of {ruby_to_s(m)}."))
-        return _fail(cond, path, "multiple_of_failed", schema.pointer, message)
+        return _fail(cond, path, "multiple_of_failed", schema.pointer, message, value=value)
 
     # --- object ---------------------------------------------------------------
 
@@ -521,7 +545,7 @@ class ColumnarCompiler:
             sql_str(" permitted key"),
             iff(f"({n} = 1)", "'.'", "'s.'"),
         )
-        return _fail(f"({n} > 0)", path, "invalid_keys", schema.pointer, message)
+        return _fail(f"({n} > 0)", path, "invalid_keys", schema.pointer, message, value=value)
 
     def _additional_properties(self, schema: SchemaNode, value: Value, path: str, stack) -> Compiled:
         ap = schema.additional_properties
@@ -537,18 +561,21 @@ class ColumnarCompiler:
                     if self._key_is_extra(schema, key)
                 ]
                 return _combine(parts) if parts else TRIVIAL
-            e = self._fresh("e")
+            e, ei = self._fresh("e"), self._fresh("ei")
             entries = fn("map_entries", value.object_map())
             extra = fn("filter", entries,
                        f"{e} -> {self._extra_keys_filter(schema, f'{e}.key')}")
-            child = self._node(ap, value.wrap_map_value(f"{e}.value"),
-                               concat(path, "'/'", f"{e}.key"), stack)
+            wrapped = value.wrap_map_value(f"{e}.value")
+            if not value.in_lambda:
+                wrapped.lam_ctx = (extra, e, ei)
+            child = self._node(ap, wrapped, concat(path, "'/'", f"{e}.key"), stack)
             if child.valid == "true" and child.errors == EMPTY_ERRORS:
                 return TRIVIAL
             errors = (EMPTY_ERRORS if child.errors == EMPTY_ERRORS else
-                      _flatten_errors(fn("transform", extra, f"{e} -> {child.errors}")))
+                      _flatten_errors(fn("transform", extra, f"({e}, {ei}) -> {child.errors}")))
+            ok = self._fresh("ok")
             valid = ("true" if child.valid == "true" else
-                     f"coalesce({fn('forall', extra, f'{e} -> {child.valid}')}, true)")
+                     f"coalesce({fn('forall', fn('transform', extra, f'({e}, {ei}) -> {child.valid}'), f'{ok} -> {ok}')}, true)")
             return Compiled(valid, errors)
         if ap is False:
             return self._validate_extra(schema, value, path)
@@ -577,7 +604,7 @@ class ColumnarCompiler:
             _plural_was_were(size),
             sql_str(" supplied."),
         )
-        return _fail(f"({size} > {n})", path, "max_properties_failed", schema.pointer, message)
+        return _fail(f"({size} > {n})", path, "max_properties_failed", schema.pointer, message, value=value)
 
     def _min_properties(self, schema: SchemaNode, value: Value, path: str) -> Compiled:
         n = schema.min_properties
@@ -588,7 +615,7 @@ class ColumnarCompiler:
             _plural_was_were(size),
             sql_str(" supplied."),
         )
-        return _fail(f"({size} < {n})", path, "min_properties_failed", schema.pointer, message)
+        return _fail(f"({size} < {n})", path, "min_properties_failed", schema.pointer, message, value=value)
 
     def _pattern_properties_parts(self, schema: SchemaNode, value: Value,
                                   path: str, stack) -> List[Compiled]:
@@ -615,16 +642,19 @@ class ColumnarCompiler:
             ok, java = translate_regex(pattern)
             if not ok or not isinstance(sub, SchemaNode):
                 continue
-            e = self._fresh("e")
+            e, ei = self._fresh("e"), self._fresh("ei")
             matching = fn("filter", entries, f"{e} -> ({e}.key RLIKE {sql_str(java)})")
-            child = self._node(sub, value.wrap_map_value(f"{e}.value"),
-                               concat(path, "'/'", f"{e}.key"), stack)
+            wrapped = value.wrap_map_value(f"{e}.value")
+            if not value.in_lambda:
+                wrapped.lam_ctx = (matching, e, ei)
+            child = self._node(sub, wrapped, concat(path, "'/'", f"{e}.key"), stack)
             if child.valid == "true" and child.errors == EMPTY_ERRORS:
                 continue
             errors = (EMPTY_ERRORS if child.errors == EMPTY_ERRORS else
-                      _flatten_errors(fn("transform", matching, f"{e} -> {child.errors}")))
+                      _flatten_errors(fn("transform", matching, f"({e}, {ei}) -> {child.errors}")))
+            ok = self._fresh("ok")
             valid = ("true" if child.valid == "true" else
-                     f"coalesce({fn('forall', matching, f'{e} -> {child.valid}')}, true)")
+                     f"coalesce({fn('forall', fn('transform', matching, f'({e}, {ei}) -> {child.valid}'), f'{ok} -> {ok}')}, true)")
             parts.append(Compiled(valid, errors))
         return parts
 
@@ -655,7 +685,7 @@ class ColumnarCompiler:
                 iff(f"({n} = 1)", sql_str("wasn't"), sql_str("weren't")),
                 sql_str(" supplied."),
             )
-            return _fail(any_missing, path, "required_failed", schema.pointer, message)
+            return _fail(any_missing, path, "required_failed", schema.pointer, message, value=value)
         lit_required = fn("array", *[sql_str(k) for k in required])
         missing = fn("array_sort", fn("array_except", lit_required, value.object_keys()))
         n = fn("size", missing)
@@ -666,7 +696,7 @@ class ColumnarCompiler:
             iff(f"({n} = 1)", sql_str("wasn't"), sql_str("weren't")),
             sql_str(" supplied."),
         )
-        return _fail(f"({n} > 0)", path, "required_failed", schema.pointer, message)
+        return _fail(f"({n} > 0)", path, "required_failed", schema.pointer, message, value=value)
 
     def _strict_properties(self, schema: SchemaNode, value: Value, path: str) -> Compiled:
         extra = self._validate_extra(schema, value, path)
@@ -676,13 +706,30 @@ class ColumnarCompiler:
     # --- string -----------------------------------------------------------------
 
     def _format(self, schema: SchemaNode, value: Value, path: str) -> Compiled:
-        allow_udf = not getattr(value, "in_lambda", False)
-        check = format_check_sql(schema.format, value.as_string(), allow_udf=allow_udf)
+        allow_udf = not value.in_lambda
+
+        def lambda_cb(udf_base: str):
+            # hoist the UDF over the whole enclosing collection: compute
+            # <udf>_arr(transform(collection, (x, i) -> string_expr)) as a
+            # pre-projected column, index it back in via the lambda's index
+            # var. Only possible one lambda level deep (the collection
+            # expression itself must be lambda-free).
+            if value.lam_ctx is None:
+                return None
+            coll, ev, iv = value.lam_ctx
+            name = self._fresh("__jss_fmt")
+            self.preprojections.append(
+                (name,
+                 f"{udf_base}_arr({fn('transform', coll, f'({ev}, {iv}) -> {value.as_string()}')})"))
+            return f"element_at({name}, {iv} + 1)"
+
+        check = format_check_sql(schema.format, value.as_string(),
+                                 allow_udf=allow_udf, lambda_udf_cb=lambda_cb)
         if check is None or check == "true":
             return TRIVIAL
         message = concat(value.render_to_s(), sql_str(f" is not a valid {schema.format}."))
         return _fail(f"(NOT coalesce({check}, false))", path, "invalid_format",
-                     schema.pointer, message)
+                     schema.pointer, message, value=value)
 
     def _max_length(self, schema: SchemaNode, value: Value, path: str) -> Compiled:
         n = schema.max_length
@@ -693,7 +740,7 @@ class ColumnarCompiler:
             _plural_was_were(length),
             sql_str(" supplied."),
         )
-        return _fail(f"({length} > {n})", path, "max_length_failed", schema.pointer, message)
+        return _fail(f"({length} > {n})", path, "max_length_failed", schema.pointer, message, value=value)
 
     def _min_length(self, schema: SchemaNode, value: Value, path: str) -> Compiled:
         n = schema.min_length
@@ -704,7 +751,7 @@ class ColumnarCompiler:
             _plural_was_were(length),
             sql_str(" supplied."),
         )
-        return _fail(f"({length} < {n})", path, "min_length_failed", schema.pointer, message)
+        return _fail(f"({length} < {n})", path, "min_length_failed", schema.pointer, message, value=value)
 
     def _pattern(self, schema: SchemaNode, value: Value, path: str) -> Compiled:
         ok, java = translate_regex(schema.pattern)
@@ -713,4 +760,4 @@ class ColumnarCompiler:
         matched = f"({value.as_string()} RLIKE {sql_str(java)})"
         message = concat(value.render_to_s(),
                          sql_str(f" does not match {ruby_regexp_inspect(schema.pattern)}."))
-        return _fail(f"(NOT {matched})", path, "pattern_failed", schema.pointer, message)
+        return _fail(f"(NOT {matched})", path, "pattern_failed", schema.pointer, message, value=value)

@@ -80,10 +80,40 @@ def _regex_compiles(s):
     return s.map(check)
 
 
+@F.pandas_udf(T.ArrayType(T.BooleanType()))
+def _regex_compiles_arr(s):
+    import re
+
+    def check_one(x):
+        if x is None:
+            return None
+        try:
+            re.compile(x)
+            return True
+        except re.error:
+            return False
+
+    return s.map(lambda arr: None if arr is None
+                 else [check_one(x) for x in arr])
+
+
 def _wrap_predicate_udf(predicate):
     @F.pandas_udf(T.BooleanType())
     def fn(s):
         return s.map(lambda x: bool(predicate(x)) if x is not None else None)
+
+    return fn
+
+
+def _wrap_predicate_udf_arr(predicate):
+    """Array-in/array-out variant: applied to a whole transformed array
+    OUTSIDE a higher-order lambda (Python UDFs can't run inside one), the
+    per-element results are then indexed back in via element_at."""
+    @F.pandas_udf(T.ArrayType(T.BooleanType()))
+    def fn(s):
+        return s.map(lambda arr: None if arr is None
+                     else [bool(predicate(x)) if x is not None else None
+                           for x in arr])
 
     return fn
 
@@ -97,10 +127,13 @@ def register_format_udfs(spark) -> None:
     """Register the Arrow-vectorized format UDFs so compiled SQL can call
     them by name. Idempotent; called by the engine before execution."""
     spark.udf.register("jss_regex_compiles", _regex_compiles)
+    spark.udf.register("jss_regex_compiles_arr", _regex_compiles_arr)
     for name, predicate in configuration().custom_formats.items():
         if name in configuration().custom_format_columns:
             continue
         spark.udf.register(udf_name_for_format(name), _wrap_predicate_udf(predicate))
+        spark.udf.register(udf_name_for_format(name) + "_arr",
+                           _wrap_predicate_udf_arr(predicate))
 
 
 _RLIKE_FORMATS = {
@@ -115,20 +148,34 @@ _RLIKE_FORMATS = {
 }
 
 
-def format_check_sql(fmt: str, string_expr: str,
-                     allow_udf: bool = True) -> Optional[str]:
+def format_check_sql(fmt: str, string_expr: str, allow_udf: bool = True,
+                     lambda_udf_cb=None) -> Optional[str]:
     """SQL boolean expression that is true when ``string_expr`` satisfies the
     named format, or None when the format is unknown (parser already errored).
-    ``allow_udf=False`` (inside higher-order-function lambdas, where Spark
-    forbids Python UDFs) skips UDF-backed formats — they validate vacuously
-    true there (documented completeness gap)."""
+
+    ``allow_udf=False`` applies inside higher-order-function lambdas, where
+    Spark forbids Python UDFs. There the compiler passes ``lambda_udf_cb``:
+    called with the UDF's base name, it pre-projects the check over the whole
+    enclosing collection (outside the lambda) and returns the element-indexed
+    replacement SQL — or None when no pre-projection is possible (a format
+    nested under TWO lambda levels: documented completeness gap, validates
+    vacuously true)."""
     from .sqlgen import sql_str
+
+    def udf_or_fallback(udf_name: str) -> str:
+        if allow_udf:
+            return f"{udf_name}({string_expr})"
+        if lambda_udf_cb is not None:
+            replaced = lambda_udf_cb(udf_name)
+            if replaced is not None:
+                return replaced
+        return "true"
 
     cfg = configuration()
     if fmt in cfg.custom_format_columns:
         return cfg.custom_format_columns[fmt](string_expr)
     if fmt in cfg.custom_formats:
-        return f"{udf_name_for_format(fmt)}({string_expr})" if allow_udf else "true"
+        return udf_or_fallback(udf_name_for_format(fmt))
 
     if fmt == "date":
         # regex shape + real calendar date (Ruby Date.parse, validator.rb:570)
@@ -137,7 +184,7 @@ def format_check_sql(fmt: str, string_expr: str,
     if fmt in _RLIKE_FORMATS:
         return f"({string_expr} RLIKE {sql_str(_RLIKE_FORMATS[fmt])})"
     if fmt == "regex":
-        return f"jss_regex_compiles({string_expr})" if allow_udf else "true"
+        return udf_or_fallback("jss_regex_compiles")
     return None
 
 

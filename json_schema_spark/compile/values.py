@@ -30,9 +30,17 @@ JSON_TYPES = ["array", "boolean", "integer", "null", "number", "object", "string
 
 
 class Value:
-    """Interface; see VariantValue / TypedValue."""
+    """Interface; see VariantValue / TypedValue.
+
+    ``in_lambda``: this value is rooted at a higher-order-function lambda
+    variable (Python UDFs cannot be invoked there). ``lam_ctx``: when the
+    *enclosing* collection expression is lambda-free, the compiler records
+    ``(collection_sql, elem_var, idx_var)`` so UDF-backed checks can be
+    pre-projected outside the lambda (see ColumnarCompiler._format)."""
 
     expr: str
+    in_lambda: bool = False
+    lam_ctx = None
 
     def is_type(self, json_type: str) -> BoolLike:
         raise NotImplementedError
@@ -82,6 +90,11 @@ class Value:
         """A string rendering usable for deep-equality comparisons."""
         raise NotImplementedError
 
+    def error_data_json(self) -> str:
+        """JSON text of the offending datum for violation rows (the
+        reference's error_data, error.rb:39-59)."""
+        raise NotImplementedError
+
     def missing_required(self, required: list):
         """Optional fast path for the required check: return
         (any_missing_cond, sorted_missing_keys_array) or None to use the
@@ -123,12 +136,13 @@ def _ruby_num_string(decimal_expr: str, is_integer: BoolLike) -> str:
 
 class VariantValue(Value):
     def __init__(self, expr: str, in_lambda: bool = False,
-                 object_map_col: str = None):
+                 object_map_col: str = None, lam_ctx=None):
         # SQL scalar functions cannot be invoked on lambda variables (the
         # inlined Project loses resolution), so values rooted at a
         # higher-order-function variable inline their render bodies instead.
         self.expr = expr
         self.in_lambda = in_lambda
+        self.lam_ctx = lam_ctx
         # manual CSE: the engine pre-projects the root object's
         # map<string,variant> cast into a column (it appears once per
         # property access and codegen-time subexpression elimination is
@@ -195,7 +209,7 @@ class VariantValue(Value):
 
     def get_property(self, key: str) -> "VariantValue":
         return VariantValue(fn("element_at", self.object_map(), sql_str(key)),
-                            in_lambda=self.in_lambda)
+                            in_lambda=self.in_lambda, lam_ctx=self.lam_ctx)
 
     def truthy_property(self, key: str) -> str:
         v = fn("element_at", self.object_map(), sql_str(key))
@@ -252,6 +266,9 @@ class VariantValue(Value):
         canon = _json.dumps(_canon_literal(literal), ensure_ascii=False,
                             separators=(",", ":"), sort_keys=True)
         return f"coalesce(to_json({self.expr}) = {sql_str(canon)}, false)"
+
+    def error_data_json(self) -> str:
+        return fn("to_json", self.expr)
 
     def canonical_json(self) -> str:
         # type-tagged: Ruby Array#uniq uses eql? (type-strict), so 1 and 1.0
@@ -353,9 +370,15 @@ class TypedValue(Value):
     def array_elements(self) -> str:
         return self.expr
 
+    def _child(self, expr: str, dtype: T.DataType, in_lambda=None) -> "TypedValue":
+        child = TypedValue(expr, dtype)
+        child.in_lambda = self.in_lambda if in_lambda is None else in_lambda
+        child.lam_ctx = self.lam_ctx
+        return child
+
     def wrap_element(self, elem_expr: str) -> "TypedValue":
         assert isinstance(self.dtype, T.ArrayType)
-        return TypedValue(elem_expr, self.dtype.elementType)
+        return self._child(elem_expr, self.dtype.elementType, in_lambda=True)
 
     def object_map(self) -> str:
         if isinstance(self.dtype, T.MapType):
@@ -389,11 +412,12 @@ class TypedValue(Value):
 
     def get_property(self, key: str) -> "Value":
         if isinstance(self.dtype, T.MapType):
-            return TypedValue(fn("element_at", self.expr, sql_str(key)), self.dtype.valueType)
+            return self._child(fn("element_at", self.expr, sql_str(key)),
+                               self.dtype.valueType)
         if key in self.dtype.fieldNames():
             ftype = {f.name: f.dataType for f in self.dtype.fields}[key]
-            return TypedValue(f"{self.expr}.{_q(key)}", ftype)
-        return TypedValue("cast(null as string)", T.StringType())
+            return self._child(f"{self.expr}.{_q(key)}", ftype)
+        return self._child("cast(null as string)", T.StringType())
 
     def truthy_property(self, key: str):
         has = self.has_property(key)
@@ -409,7 +433,7 @@ class TypedValue(Value):
             raise TypeError(
                 "wrap_map_value over a non-map typed value: struct-typed "
                 "objects take the static_object_entries path")
-        return TypedValue(value_expr, self.dtype.valueType)
+        return self._child(value_expr, self.dtype.valueType, in_lambda=True)
 
     def static_object_entries(self):
         if not isinstance(self.dtype, T.StructType):
@@ -417,7 +441,7 @@ class TypedValue(Value):
         return [
             (f.name,
              f"({self.expr}.{_q(f.name)} IS NOT NULL)",
-             TypedValue(f"{self.expr}.{_q(f.name)}", f.dataType))
+             self._child(f"{self.expr}.{_q(f.name)}", f.dataType))
             for f in self.dtype.fields
         ]
 
@@ -486,6 +510,18 @@ class TypedValue(Value):
     def canonical_json(self) -> str:
         if self._kind() in ("array", "object"):
             return fn("to_json", self.expr)
+        return fn("cast", f"{self.expr} as string")
+
+    def error_data_json(self) -> str:
+        kind = self._kind()
+        if kind in ("array", "object"):
+            return fn("to_json", self.expr)
+        if kind == "string":
+            # JSON-escape via a throwaway struct: to_json requires a
+            # composite input
+            j = fn("to_json", f"named_struct('v', {self.expr})")
+            return iff(f"({self.expr} IS NULL)", "cast(null as string)",
+                       f"substring({j}, 6, length({j}) - 6)")
         return fn("cast", f"{self.expr} as string")
 
 

@@ -279,7 +279,9 @@ class DeepValidator:
                 )
             )
             depth += 1
-            if nxt.rdd.isEmpty():
+            # DataFrame.isEmpty stays in Catalyst (limit-1 scan); .rdd would
+            # re-analyze the full plan and schedule an RDD job per level
+            if nxt.isEmpty():
                 frontier = None
                 break
             frontier = nxt
@@ -347,6 +349,10 @@ class DeepValidator:
                 F.lit("#").alias("schema_pointer"),
                 (msg if not isinstance(msg, str) else F.lit(msg)).alias("message"),
                 (sub if sub is not None else F.lit(None).cast("string")).alias("sub_errors"),
+                # deep-mode combinator rows are built post-aggregation where
+                # the variant value is out of scope; leaf errors (from the
+                # columnar compiler) carry the real data_json
+                F.lit(None).cast("string").alias("data_json"),
             ))).otherwise(F.expr(f"cast(array() as {ERR_ARRAY_DDL})"))
 
         all_fail = (F.col("n_all") > 0) & (F.col("all_ok") < F.col("n_all"))

@@ -59,9 +59,10 @@ class ValidationResult:
 
     @property
     def violations(self) -> DataFrame:
-        """(id..., path, error_type, schema_pointer, message, sub_errors) —
-        one row per violation (error-ordering matches the reference's
-        traversal order within a document)."""
+        """(id..., path, error_type, schema_pointer, message, sub_errors,
+        data_json) — one row per violation (error-ordering matches the
+        reference's traversal order within a document; data_json carries the
+        offending datum, the reference's error_data, error.rb:39-59)."""
         e = F.explode(ERRORS_COL).alias("e")
         return (
             self.annotated
@@ -74,6 +75,7 @@ class ValidationResult:
                 F.col("e.schema_pointer").alias("schema_pointer"),
                 F.col("e.message").alias("message"),
                 F.col("e.sub_errors").alias("sub_errors"),
+                F.col("e.data_json").alias("data_json"),
             )
         )
 
@@ -128,6 +130,12 @@ class ValidationEngine:
         # de-duplicates the expensive shared subexpressions itself (variant
         # object casts are pre-projected where it matters).
         spark.conf.set("spark.sql.subexpressionElimination.enabled", "false")
+        # Constraint propagation walks every alias in a Project to infer
+        # filters/nullability — quadratic over compiled-schema expression
+        # trees (measured: OOM on a 20-keyword scaffold schema with 12 GiB
+        # of driver heap; fine with this off). Our validation plans gain
+        # nothing from inferred constraints: no joins below the predicates.
+        spark.conf.set("spark.sql.constraintPropagation.enabled", "false")
 
     def _compiler(self) -> ColumnarCompiler:
         return ColumnarCompiler(max_unroll_depth=self.max_unroll_depth,
@@ -135,7 +143,15 @@ class ValidationEngine:
 
     def _annotate(self, df: DataFrame, parts: List[Compiled],
                   id_cols: Optional[List[str]],
-                  verdict_only: bool = False) -> ValidationResult:
+                  verdict_only: bool = False,
+                  fail_fast: bool = False,
+                  preprojections: Optional[List[tuple]] = None) -> ValidationResult:
+        # UDF-backed format checks hoisted out of higher-order lambdas
+        # (ColumnarCompiler.preprojections) become real columns first
+        pre_names = []
+        for name, sql in (preprojections or []):
+            df = df.withColumn(name, F.expr(sql))
+            pre_names.append(name)
         # one column per root keyword part: many shallow expressions analyze
         # far faster than one deep combined tree (see compile_parts)
         n = len(parts)
@@ -147,7 +163,7 @@ class ValidationEngine:
             annotated = (
                 df.withColumns(part_cols)
                 .withColumn(VALID_COL, F.expr(valid_expr))
-                .drop(*part_cols.keys())
+                .drop(*part_cols.keys(), *pre_names)
             )
             return ValidationResult(annotated, id_cols or [], has_errors=False)
 
@@ -161,11 +177,17 @@ class ValidationEngine:
                 _flatten_errors("array(" + ", ".join(f"__jss_e{i}" for i in range(n)) + ")"))
         else:
             errors_expr = _coalesce_errors("__jss_e0")
+        if fail_fast:
+            # reference fail_fast (validator.rb:16-31) aborts at the FIRST
+            # error but still reports it; set-at-a-time the analog is a
+            # truncation — parts compile in reference dispatch order, so
+            # element 1 is the first error of the traversal
+            errors_expr = f"slice({errors_expr}, 1, 1)"
         annotated = (
             df.withColumns(part_cols)
             .withColumn(ERRORS_COL, F.expr(errors_expr))
             .withColumn(VALID_COL, F.size(F.col(ERRORS_COL)) == 0)
-            .drop(*part_cols.keys())
+            .drop(*part_cols.keys(), *pre_names)
         )
         return ValidationResult(annotated, id_cols or [])
 
@@ -175,15 +197,19 @@ class ValidationEngine:
                          schema: Union[dict, SchemaNode],
                          id_cols: Optional[List[str]] = None,
                          store: Optional[DocumentStore] = None,
-                         verdict_only: bool = False) -> ValidationResult:
+                         verdict_only: bool = False,
+                         fail_fast: bool = False) -> ValidationResult:
         node = compile_schema(schema, store)
         # pre-project the root object-map cast once (manual CSE)
         obj_col = "__jss_omap"
         df = df.withColumn(obj_col, F.expr(
             f"try_variant_get({variant_col}, '$', 'map<string,variant>')"))
         value = VariantValue(variant_col, object_map_col=obj_col)
-        parts = self._compiler().compile_parts(node, value)
-        result = self._annotate(df, parts, id_cols, verdict_only=verdict_only)
+        compiler = self._compiler()
+        parts = compiler.compile_parts(node, value)
+        result = self._annotate(df, parts, id_cols, verdict_only=verdict_only,
+                                fail_fast=fail_fast,
+                                preprojections=compiler.preprojections)
         result.annotated = result.annotated.drop(obj_col)
         return result
 
@@ -191,10 +217,12 @@ class ValidationEngine:
                       schema: Union[dict, SchemaNode],
                       id_cols: Optional[List[str]] = None,
                       store: Optional[DocumentStore] = None,
-                      verdict_only: bool = False) -> ValidationResult:
+                      verdict_only: bool = False,
+                      fail_fast: bool = False) -> ValidationResult:
         df = df.withColumn("__doc", F.parse_json(F.col(json_col)))
         result = self.validate_variant(df, "__doc", schema, id_cols=id_cols,
-                                       store=store, verdict_only=verdict_only)
+                                       store=store, verdict_only=verdict_only,
+                                       fail_fast=fail_fast)
         result.annotated = result.annotated.drop("__doc")
         return result
 
@@ -205,7 +233,8 @@ class ValidationEngine:
                        doc_col: Optional[str] = None,
                        id_cols: Optional[List[str]] = None,
                        store: Optional[DocumentStore] = None,
-                       verdict_only: bool = False) -> ValidationResult:
+                       verdict_only: bool = False,
+                       fail_fast: bool = False) -> ValidationResult:
         """Validate typed rows. When ``doc_col`` is None the whole row is the
         JSON object (each column a property); otherwise the named
         struct/array/map column is."""
@@ -244,5 +273,8 @@ class ValidationEngine:
             struct_type = T.StructType(fields)
             cols = ", ".join(f"'{f.name}', {f.name}" for f in fields)
             value = TypedValue(f"named_struct({cols})", struct_type)
-        parts = self._compiler().compile_parts(node, value)
-        return self._annotate(df, parts, id_cols, verdict_only=verdict_only)
+        compiler = self._compiler()
+        parts = compiler.compile_parts(node, value)
+        return self._annotate(df, parts, id_cols, verdict_only=verdict_only,
+                              fail_fast=fail_fast,
+                              preprojections=compiler.preprojections)

@@ -44,6 +44,22 @@ def with_bucket(df: DataFrame, key: str, n_buckets: int) -> DataFrame:
     return df.withColumn(BUCKET_COL, F.pmod(F.xxhash64(F.col(key)), F.lit(n_buckets)).cast("int"))
 
 
+def ensure_bucketed_staging(spark: SparkSession, df: DataFrame, key: str,
+                            n_buckets: int, staging_path: str) -> DataFrame:
+    """Materialize ``df`` once as a bucket-PARTITIONED parquet layout
+    (directory per bucket) and return a reader over it. Idempotent: an
+    existing complete staging (_SUCCESS) is reused — that is what makes
+    resume cheap: per-group bucket filters become partition pruning (each
+    commit group scans only its own directories) instead of n_buckets /
+    buckets_per_commit full scans of the corpus. On Iceberg the input table
+    itself would be bucket-partitioned and this step disappears."""
+    success = os.path.join(staging_path, "_SUCCESS")
+    if not os.path.exists(success):
+        (with_bucket(df, key, n_buckets)
+         .write.mode("overwrite").partitionBy(BUCKET_COL).parquet(staging_path))
+    return spark.read.parquet(staging_path)
+
+
 class RunManifest:
     def __init__(self, spark: SparkSession, path: str):
         self.spark = spark
@@ -93,18 +109,31 @@ def validate_resumable(
     n_buckets: int = 16,
     buckets_per_commit: int = 4,
     fail_after_buckets: Optional[int] = None,
+    staging_path: Optional[str] = None,
+    stage: bool = True,
 ) -> ResumableRun:
     """Validate ``df`` bucket-group by bucket-group, committing violations +
     manifest rows per group; a rerun with the same manifest path skips
     completed buckets. ``fail_after_buckets`` injects a mid-run crash for
-    tests."""
+    tests.
+
+    ``stage=True`` (default) first materializes a bucket-partitioned copy at
+    ``staging_path`` (default: <manifest_path>_staging) so every commit
+    group — and every resume — scans only its own bucket directories via
+    partition pruning. ``stage=False`` keeps the zero-copy path: the bucket
+    filter is a pushed predicate over the unpartitioned input, which re-scans
+    the corpus once per commit group (calibration only)."""
     engine = ValidationEngine(spark)
     manifest = RunManifest(spark, manifest_path)
     done = set(manifest.completed_buckets())
     run_id = uuid.uuid4().hex[:12]
     id_cols = id_cols or [key]
 
-    bucketed = with_bucket(df, key, n_buckets)
+    if stage:
+        staging_path = staging_path or manifest_path.rstrip("/") + "_staging"
+        bucketed = ensure_bucketed_staging(spark, df, key, n_buckets, staging_path)
+    else:
+        bucketed = with_bucket(df, key, n_buckets)
     todo = [b for b in range(n_buckets) if b not in done]
     processed: List[int] = []
 

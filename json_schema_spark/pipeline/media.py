@@ -81,12 +81,16 @@ def extract_media_features(media_with_payloads: DataFrame,
     """Decode + feature-extract via ``mapInPandas`` (Arrow batches, never
     row-at-a-time serde). Rows are repartitioned so each task holds roughly
     ``target_batch_mb`` of payload."""
-    import math
-
-    rows_per_task = max(1, (target_batch_mb * 1024 * 1024) // max(1, avg_payload_bytes))
-    n_rows = media_with_payloads.count()
-    n_parts = max(1, math.ceil(n_rows / rows_per_task))
-    df = media_with_payloads.repartition(n_parts)
+    # Cap Arrow batch size by row count instead of counting the input first
+    # (a .count() here would add a full extra scan of the payload table per
+    # run — at 100 TB that is the dominant cost). Partition sizing is left to
+    # the source split size / AQE; maxRecordsPerBatch bounds each decode
+    # batch to ~target_batch_mb of payload.
+    rows_per_batch = max(1, (target_batch_mb * 1024 * 1024) // max(1, avg_payload_bytes))
+    spark = media_with_payloads.sparkSession
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch",
+                   str(rows_per_batch))
+    df = media_with_payloads
 
     def decode_batches(batches: Iterator) -> Iterator:
         import pandas as pd

@@ -25,11 +25,13 @@ class Outcome:
     types: List[str] = field(default_factory=list)
     paths: List[str] = field(default_factory=list)
     sub_errors: List[Optional[str]] = field(default_factory=list)
+    data: List[Any] = field(default_factory=list)  # parsed data_json per error
 
 
 def run_case(spark: SparkSession, schema_dict: dict, data: Any,
              max_unroll_depth: Optional[int] = None,
-             definition: Optional[str] = "app") -> Outcome:
+             definition: Optional[str] = "app",
+             fail_fast: bool = False) -> Outcome:
     """Mirror of the reference harness (validator_test.rb:1063-1069): parse +
     expand the whole scaffold, then validate against definitions[definition]
     (or the root when definition is None)."""
@@ -38,7 +40,7 @@ def run_case(spark: SparkSession, schema_dict: dict, data: Any,
         node = node.definitions[definition]
     df = spark.createDataFrame([(json.dumps(data),)], "doc string")
     engine = ValidationEngine(spark, max_unroll_depth=max_unroll_depth)
-    result = engine.validate_json(df, "doc", node)
+    result = engine.validate_json(df, "doc", node, fail_fast=fail_fast)
     row = result.annotated.select("is_valid", "violations").collect()[0]
     errors = row["violations"] or []
     return Outcome(
@@ -47,4 +49,6 @@ def run_case(spark: SparkSession, schema_dict: dict, data: Any,
         types=[e["error_type"] for e in errors],
         paths=[e["path"] for e in errors],
         sub_errors=[e["sub_errors"] for e in errors],
+        data=[json.loads(e["data_json"]) if e["data_json"] is not None else None
+              for e in errors],
     )

@@ -1,0 +1,80 @@
+"""UDF-backed format checks under higher-order lambdas (round-1 VERDICT
+"What's wrong" #3): a schema like ``items: {format: "regex"}`` must evaluate
+per element, not pass vacuously. The compiler hoists the UDF over the whole
+collection as a pre-projected array column (Python UDFs cannot run inside a
+lambda) and indexes the result back in.
+
+Reference anchor: validator.rb:216-229 — format fires anywhere in the tree.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from json_schema_spark import configuration
+from tests.parity import run_case
+
+
+@pytest.fixture(autouse=True)
+def reset_config():
+    configuration().reset()
+    yield
+    configuration().reset()
+
+
+def test_regex_format_under_items(spark):
+    out = run_case(spark, {"items": {"format": "regex"}},
+                   ["ok.*", "(", "x["], definition=None)
+    assert not out.valid
+    assert out.types == ["invalid_format", "invalid_format"]
+    assert out.paths == ["#/1", "#/2"]
+    assert out.messages[0] == "( is not a valid regex."
+
+
+def test_regex_format_under_items_all_pass(spark):
+    out = run_case(spark, {"items": {"format": "regex"}},
+                   ["ok.*", "a|b"], definition=None)
+    assert out.valid, out.messages
+
+
+def test_regex_format_under_pattern_properties(spark):
+    out = run_case(spark, {"patternProperties": {"^re_": {"format": "regex"}}},
+                   {"re_a": "(", "re_b": "good", "other": "("}, definition=None)
+    assert not out.valid
+    assert out.paths == ["#/re_a"]
+    assert out.types == ["invalid_format"]
+
+
+def test_regex_format_under_additional_properties(spark):
+    schema = {"properties": {"name": {"type": ["string"]}},
+              "additionalProperties": {"format": "regex"}}
+    out = run_case(spark, schema, {"name": "x", "extra": "("}, definition=None)
+    assert not out.valid
+    assert out.paths == ["#/extra"]
+    assert out.types == ["invalid_format"]
+
+
+def test_custom_format_under_items(spark):
+    configuration().register_format("even-length", lambda s: len(s) % 2 == 0)
+    out = run_case(spark, {"items": {"format": "even-length"}},
+                   ["ab", "abc"], definition=None)
+    assert not out.valid
+    assert out.paths == ["#/1"]
+    assert out.types == ["invalid_format"]
+
+
+def test_format_in_property_under_items(spark):
+    # the format sits below a property access inside the lambda element
+    schema = {"items": {"properties": {"r": {"format": "regex"}}}}
+    out = run_case(spark, schema, [{"r": "ok"}, {"r": "("}], definition=None)
+    assert not out.valid
+    assert out.paths == ["#/1/r"]
+    assert out.types == ["invalid_format"]
+
+
+def test_doubly_nested_format_documented_gap(spark):
+    # two lambda levels deep there is no lambda-free collection to hoist
+    # over — validates vacuously true (documented completeness gap)
+    out = run_case(spark, {"items": {"items": {"format": "regex"}}},
+                   [["("]], definition=None)
+    assert out.valid
