@@ -271,6 +271,34 @@ def q_pricing_summary(spark, sf_dir):
     )
 
 
+def q_pricing_rollup(spark, sf_dir):
+    """Grouping-sets coverage: ROLLUP over (returnflag, linestatus) with
+    subtotal + grand-total rows. NULL group markers are coalesced to 'ALL'
+    so the cross-engine hash compare is unambiguous."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+             F.count(F.lit(1)).alias("n_rows"))
+        .select(F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+                F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+                "sum_qty", "n_rows")
+    )
+
+
+def q_user_set_ops(spark, sf_dir):
+    """Set-operator coverage: INTERSECT and EXCEPT (distinct semantics) over
+    the event-type user populations."""
+    e = _t(spark, sf_dir, "events")
+    clicks = e.where(F.col("event_type") == "click").select("user_id")
+    buys = e.where(F.col("event_type") == "purchase").select("user_id")
+    both = clicks.intersect(buys).select(
+        "user_id", F.lit("click_and_purchase").alias("relation"))
+    only = clicks.subtract(buys).select(
+        "user_id", F.lit("click_only").alias("relation"))
+    return both.unionByName(only)
+
+
 def q_top_customers_per_segment(spark, sf_dir):
     from pyspark.sql import Window
 
@@ -479,6 +507,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customers_without_orders": q_customers_without_orders,
         "lineitem_stats": q_lineitem_stats,
         "pricing_summary": q_pricing_summary,
+        "pricing_rollup": q_pricing_rollup,
+        "user_set_ops": q_user_set_ops,
         "top_customers_per_segment": q_top_customers_per_segment,
         "revenue_by_nation": q_revenue_by_nation,
         "user_sessions": q_user_sessions,
@@ -681,6 +711,27 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem
             WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
             GROUP BY l_returnflag, l_linestatus
+        """,
+        "pricing_rollup": """
+            SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+                   coalesce(l_linestatus, 'ALL') AS linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   count(*) AS n_rows
+            FROM lineitem
+            GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        """,
+        "user_set_ops": """
+            SELECT user_id, 'click_and_purchase' AS relation FROM (
+                SELECT user_id FROM events WHERE event_type = 'click'
+                INTERSECT
+                SELECT user_id FROM events WHERE event_type = 'purchase'
+            )
+            UNION ALL
+            SELECT user_id, 'click_only' AS relation FROM (
+                SELECT user_id FROM events WHERE event_type = 'click'
+                EXCEPT
+                SELECT user_id FROM events WHERE event_type = 'purchase'
+            )
         """,
         "top_customers_per_segment": """
             WITH spend AS (

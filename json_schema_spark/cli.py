@@ -12,6 +12,9 @@ Modes:
   (schema-validates-schema, validate_schema.rb:39-49)
 - ``--extra-schemas``: pre-register documents for cross-document $refs
   (the ``-s`` flag analog, validate_schema.rb:65-74)
+- ``--docs``: validate individual JSON *or YAML* document files (the
+  reference's front door, validate_schema.rb:101-116) — parsed driver-side,
+  validated through the same compiled plan
 - ``--manifest``: checkpoint-resumable run (partition-granular)
 """
 
@@ -22,11 +25,42 @@ import json
 import sys
 
 
+def _load_document(path: str):
+    """Parse a JSON or YAML file the way the reference front door does
+    (validate_schema.rb:101-127: extension picks the parser, empty files and
+    parse failures produce the reference's error wording)."""
+    import os
+
+    try:
+        with open(path) as fh:
+            text = fh.read()
+    except FileNotFoundError:
+        raise ValueError(f"{path}: No such file or directory.")
+    if not text:
+        raise ValueError(f"{path}: File is empty.")
+    if os.path.splitext(path)[1] in (".yaml", ".yml"):
+        try:
+            import yaml
+        except ImportError as exc:  # pragma: no cover - yaml is in the image
+            raise ValueError(f"{path}: Invalid YAML.") from exc
+        try:
+            return yaml.safe_load(text)
+        except yaml.YAMLError:
+            raise ValueError(f"{path}: Invalid YAML.")
+    try:
+        return json.loads(text)
+    except ValueError:
+        raise ValueError(f"{path}: Invalid JSON. Try to validate using `jsonlint`.")
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="json-schema-spark",
                                 description="Validate a document corpus against a JSON Schema")
-    p.add_argument("--schema", help="path to the schema JSON file")
-    p.add_argument("--data", required=True, help="parquet path of the documents table")
+    p.add_argument("--schema", help="path to the schema JSON or YAML file")
+    p.add_argument("--data", help="parquet path of the documents table")
+    p.add_argument("--docs", nargs="*", default=[],
+                   help="individual JSON/YAML document files to validate "
+                        "(the reference CLI's positional file arguments)")
     p.add_argument("--json-col", help="treat this column as JSON strings (variant mode)")
     p.add_argument("--id-col", default="doc_id", help="document id column")
     p.add_argument("--detect", action="store_true",
@@ -77,10 +111,17 @@ def main(argv=None) -> int:
     if args.detect:
         schema = DRAFT4_META_SCHEMA
     elif args.schema:
-        with open(args.schema) as fh:
-            schema = json.load(fh)
+        try:
+            schema = _load_document(args.schema)
+        except ValueError as exc:
+            print(f"schema error: {exc}", file=sys.stderr)
+            return 2
     else:
         print("error: --schema or --detect required", file=sys.stderr)
+        return 2
+
+    if not args.data and not args.docs:
+        print("error: --data or --docs required", file=sys.stderr)
         return 2
 
     # fail on schema problems with the reference's error wording, not a
@@ -95,8 +136,36 @@ def main(argv=None) -> int:
 
     from .io_tables import read_table, write_table
 
-    df = read_table(spark, args.data, fmt=args.format)
     engine = ValidationEngine(spark)
+
+    if args.docs:
+        # single-file mode: parse driver-side (JSON or YAML), one row per
+        # file, validated through the identical compiled variant plan
+        try:
+            rows = [(path, json.dumps(_load_document(path))) for path in args.docs]
+        except ValueError as exc:
+            print(f"document error: {exc}", file=sys.stderr)
+            return 2
+        df = spark.createDataFrame(rows, "doc_path string, doc string")
+        result = engine.validate_json(df, "doc", schema, id_cols=["doc_path"],
+                                      store=store, fail_fast=args.fail_fast)
+        ok = True
+        verdicts = {r["doc_path"]: r for r in
+                    result.annotated.select("doc_path", "is_valid", "violations").collect()}
+        for path in args.docs:
+            row = verdicts[path]
+            if row["is_valid"]:
+                print(f"{path} is valid.")
+            else:
+                ok = False
+                # reference map_schema_errors: "#{file}#{error}" where the
+                # error already reads "#/path: failed schema #/ptr: msg"
+                for e in row["violations"]:
+                    print(f"{path}{e['path']}: failed schema "
+                          f"{e['schema_pointer']}: {e['message']}", file=sys.stderr)
+        return 0 if ok else 1
+
+    df = read_table(spark, args.data, fmt=args.format)
 
     if args.manifest:
         from .manifest import validate_resumable

@@ -114,6 +114,17 @@ def _combine(parts: List[Optional[Compiled]]) -> Compiled:
     return Compiled(valid, errors)
 
 
+def _chain_ctx(value: Value, coll: str, elem_var: str, idx_var: str):
+    """Lambda-context chain for a value wrapped inside a new lambda scope:
+    links back to the enclosing value's own ctx so UDF format checks can be
+    hoisted across up to two lambda levels (see ColumnarCompiler._format)."""
+    if not value.in_lambda:
+        return (coll, elem_var, idx_var, None)
+    if value.lam_ctx is not None:
+        return (coll, elem_var, idx_var, value.lam_ctx)
+    return None
+
+
 def _coalesce_errors(errors: str) -> str:
     """The single place the full element DDL is spelled out: normalize a
     null-as-empty errors expression to a real empty array."""
@@ -342,8 +353,7 @@ class ColumnarCompiler:
             # list form: every element against one subschema (validator.rb:290-297)
             x, i = self._fresh("x"), self._fresh("i")
             wrapped = value.wrap_element(x)
-            if not value.in_lambda:
-                wrapped.lam_ctx = (elems, x, i)
+            wrapped.lam_ctx = _chain_ctx(value, elems, x, i)
             child = self._node(schema.items, wrapped,
                                concat(path, "'/'", f"cast({i} as string)"), stack)
             if child.valid == "true" and child.errors == EMPTY_ERRORS:
@@ -387,8 +397,7 @@ class ColumnarCompiler:
         elif isinstance(additional, SchemaNode):
             x, i = self._fresh("x"), self._fresh("i")
             wrapped = value.wrap_element(x)
-            if not value.in_lambda:
-                wrapped.lam_ctx = (elems, x, i)
+            wrapped.lam_ctx = _chain_ctx(value, elems, x, i)
             child = self._node(additional, wrapped,
                                concat(path, "'/'", f"cast({i} as string)"), stack)
             if not (child.valid == "true" and child.errors == EMPTY_ERRORS):
@@ -566,8 +575,7 @@ class ColumnarCompiler:
             extra = fn("filter", entries,
                        f"{e} -> {self._extra_keys_filter(schema, f'{e}.key')}")
             wrapped = value.wrap_map_value(f"{e}.value")
-            if not value.in_lambda:
-                wrapped.lam_ctx = (extra, e, ei)
+            wrapped.lam_ctx = _chain_ctx(value, extra, e, ei)
             child = self._node(ap, wrapped, concat(path, "'/'", f"{e}.key"), stack)
             if child.valid == "true" and child.errors == EMPTY_ERRORS:
                 return TRIVIAL
@@ -645,8 +653,7 @@ class ColumnarCompiler:
             e, ei = self._fresh("e"), self._fresh("ei")
             matching = fn("filter", entries, f"{e} -> ({e}.key RLIKE {sql_str(java)})")
             wrapped = value.wrap_map_value(f"{e}.value")
-            if not value.in_lambda:
-                wrapped.lam_ctx = (matching, e, ei)
+            wrapped.lam_ctx = _chain_ctx(value, matching, e, ei)
             child = self._node(sub, wrapped, concat(path, "'/'", f"{e}.key"), stack)
             if child.valid == "true" and child.errors == EMPTY_ERRORS:
                 continue
@@ -712,16 +719,40 @@ class ColumnarCompiler:
             # hoist the UDF over the whole enclosing collection: compute
             # <udf>_arr(transform(collection, (x, i) -> string_expr)) as a
             # pre-projected column, index it back in via the lambda's index
-            # var. Only possible one lambda level deep (the collection
-            # expression itself must be lambda-free).
+            # var. One level deep the collection is lambda-free; two levels
+            # deep the inner collections are flattened with offset
+            # bookkeeping. Three or more: documented completeness gap.
             if value.lam_ctx is None:
                 return None
-            coll, ev, iv = value.lam_ctx
-            name = self._fresh("__jss_fmt")
+            coll, ev, iv, parent = value.lam_ctx
+            if parent is None:
+                name = self._fresh("__jss_fmt")
+                self.preprojections.append(
+                    (name,
+                     f"{udf_base}_arr({fn('transform', coll, f'({ev}, {iv}) -> {value.as_string()}')})"))
+                return f"element_at({name}, {iv} + 1)"
+            pcoll, pev, piv, grand = parent
+            if grand is not None:
+                return None
+            # flatten-hoist: one flat UDF pass over every leaf, plus a sizes
+            # array so each (outer, inner) index maps to its flat offset.
+            # Null inner collections (outer element not an array/object)
+            # contribute zero leaves — coalesce keeps flatten() non-null.
+            inner = fn("transform", fn("coalesce", coll, "array()"),
+                       f"({ev}, {iv}) -> {value.as_string()}")
+            flat = self._fresh("__jss_fmt")
             self.preprojections.append(
-                (name,
-                 f"{udf_base}_arr({fn('transform', coll, f'({ev}, {iv}) -> {value.as_string()}')})"))
-            return f"element_at({name}, {iv} + 1)"
+                (flat,
+                 f"{udf_base}_arr(flatten({fn('transform', pcoll, f'({pev}, {piv}) -> {inner}')}))"))
+            sizes = self._fresh("__jss_fmtsz")
+            self.preprojections.append(
+                (sizes,
+                 fn("transform", pcoll,
+                    f"({pev}, {piv}) -> coalesce(size({coll}), 0)")))
+            acc, s = self._fresh("acc"), self._fresh("s")
+            offset = (f"aggregate(slice({sizes}, 1, {piv}), 0, "
+                      f"({acc}, {s}) -> {acc} + {s})")
+            return f"element_at({flat}, {offset} + {iv} + 1)"
 
         check = format_check_sql(schema.format, value.as_string(),
                                  allow_udf=allow_udf, lambda_udf_cb=lambda_cb)

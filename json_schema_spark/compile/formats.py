@@ -156,10 +156,11 @@ def format_check_sql(fmt: str, string_expr: str, allow_udf: bool = True,
     ``allow_udf=False`` applies inside higher-order-function lambdas, where
     Spark forbids Python UDFs. There the compiler passes ``lambda_udf_cb``:
     called with the UDF's base name, it pre-projects the check over the whole
-    enclosing collection (outside the lambda) and returns the element-indexed
+    enclosing collection (outside the lambda; flatten-hoisted with offset
+    bookkeeping when two lambda levels deep) and returns the element-indexed
     replacement SQL — or None when no pre-projection is possible (a format
-    nested under TWO lambda levels: documented completeness gap, validates
-    vacuously true)."""
+    nested under THREE or more lambda levels: documented completeness gap,
+    validates vacuously true)."""
     from .sqlgen import sql_str
 
     def udf_or_fallback(udf_name: str) -> str:

@@ -33,10 +33,11 @@ class Value:
     """Interface; see VariantValue / TypedValue.
 
     ``in_lambda``: this value is rooted at a higher-order-function lambda
-    variable (Python UDFs cannot be invoked there). ``lam_ctx``: when the
-    *enclosing* collection expression is lambda-free, the compiler records
-    ``(collection_sql, elem_var, idx_var)`` so UDF-backed checks can be
-    pre-projected outside the lambda (see ColumnarCompiler._format)."""
+    variable (Python UDFs cannot be invoked there). ``lam_ctx``: the chain of
+    enclosing lambda contexts ``(collection_sql, elem_var, idx_var, parent)``
+    — ``parent`` is the enclosing value's own lam_ctx (None at a lambda-free
+    root) — so UDF-backed checks can be pre-projected outside the lambda,
+    one or two levels deep (see ColumnarCompiler._format)."""
 
     expr: str
     in_lambda: bool = False
@@ -378,7 +379,11 @@ class TypedValue(Value):
 
     def wrap_element(self, elem_expr: str) -> "TypedValue":
         assert isinstance(self.dtype, T.ArrayType)
-        return self._child(elem_expr, self.dtype.elementType, in_lambda=True)
+        child = self._child(elem_expr, self.dtype.elementType, in_lambda=True)
+        # a new lambda scope: the compiler threads the chain explicitly
+        # (inheriting the parent's ctx here would mis-scope the elem var)
+        child.lam_ctx = None
+        return child
 
     def object_map(self) -> str:
         if isinstance(self.dtype, T.MapType):
@@ -433,7 +438,9 @@ class TypedValue(Value):
             raise TypeError(
                 "wrap_map_value over a non-map typed value: struct-typed "
                 "objects take the static_object_entries path")
-        return self._child(value_expr, self.dtype.valueType, in_lambda=True)
+        child = self._child(value_expr, self.dtype.valueType, in_lambda=True)
+        child.lam_ctx = None
+        return child
 
     def static_object_entries(self):
         if not isinstance(self.dtype, T.StructType):

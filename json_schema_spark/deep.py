@@ -41,7 +41,8 @@ from .expander import schema_children
 from .regex_translate import translate_regex
 from .schema import SchemaNode
 
-CHILD_STRUCT_DDL = "struct<slot:string,node_id:int,v:variant,path:string,kind:string,branch:int>"
+CHILD_STRUCT_DDL = ("struct<slot:string,node_id:int,v:variant,path:string,"
+                    "kind:string,branch:int,ppointer:string>")
 
 
 @dataclass
@@ -126,11 +127,17 @@ class DeepValidator:
         v = VariantValue("v")
         arrays: List[str] = []
 
+        # every child carries the *generating* node's pointer so combinator
+        # errors assembled at the parent level cite the right schema location
+        # (columnar parity: _any_of/_one_of pass schema.pointer)
+        ppointer = sql_str(node.pointer or "#")
+
         def child(slot: str, nid: int, value_sql: str, path_sql: str,
                   kind: str, branch: int = -1) -> str:
             return (f"named_struct('slot', {sql_str(slot)}, 'node_id', {nid}, "
                     f"'v', {value_sql}, 'path', {path_sql}, "
-                    f"'kind', {sql_str(kind)}, 'branch', {branch})")
+                    f"'kind', {sql_str(kind)}, 'branch', {branch}, "
+                    f"'ppointer', {ppointer})")
 
         def nid(n: SchemaNode) -> int:
             return self._ids[id(n)]
@@ -248,6 +255,7 @@ class DeepValidator:
             F.lit("root").alias("slot"),
             F.lit("check").alias("kind"),
             F.lit(-1).alias("branch"),
+            F.lit(self.root.pointer or "#").alias("ppointer"),
             F.monotonically_increasing_id().cast("string").alias("row_id"),
             F.lit(None).cast("string").alias("parent_row_id"),
         )
@@ -274,6 +282,7 @@ class DeepValidator:
                     F.col("c.slot").alias("slot"),
                     F.col("c.kind").alias("kind"),
                     F.col("c.branch").alias("branch"),
+                    F.col("c.ppointer").alias("ppointer"),
                     F.concat("parent_row_id", F.lit("."), F.col("pos").cast("string")).alias("row_id"),
                     "parent_row_id",
                 )
@@ -314,7 +323,16 @@ class DeepValidator:
 
     def _combine_level(self, cur: DataFrame) -> DataFrame:
         """Aggregate one level's results up to the parent rows."""
-        comb_msgs = {info.node_id: info.node for info in self.nodes}
+
+        def branch_sub(kind: str):
+            """Branch errors as a branch-ordered JSON array-of-arrays —
+            byte-compatible with the columnar engine's
+            to_json(array(errs_0, errs_1, ...)) sub_errors layout."""
+            pairs = F.sort_array(F.collect_list(
+                F.when(F.col("kind") == kind,
+                       F.struct(F.col("branch"), F.col("errors").alias("errs")))))
+            return F.to_json(F.transform(pairs, lambda x: x["errs"]))
+
         agg = (
             cur.groupBy("parent_row_id")
             .agg(
@@ -325,19 +343,17 @@ class DeepValidator:
                 F.sum(F.when(F.col("kind") == "all", F.col("valid").cast("int"))).alias("all_ok"),
                 F.count(F.when(F.col("kind") == "any", 1)).alias("n_any"),
                 F.sum(F.when(F.col("kind") == "any", F.col("valid").cast("int"))).alias("any_ok"),
-                F.to_json(F.sort_array(F.collect_list(
-                    F.when(F.col("kind") == "any",
-                           F.struct(F.col("branch"), F.col("errors").alias("errs")))))).alias("any_sub"),
+                branch_sub("any").alias("any_sub"),
                 F.count(F.when(F.col("kind") == "one", 1)).alias("n_one"),
                 F.sum(F.when(F.col("kind") == "one", F.col("valid").cast("int"))).alias("one_ok"),
-                F.to_json(F.sort_array(F.collect_list(
-                    F.when(F.col("kind") == "one",
-                           F.struct(F.col("branch"), F.col("errors").alias("errs")))))).alias("one_sub"),
+                branch_sub("one").alias("one_sub"),
                 F.count(F.when(F.col("kind") == "not", 1)).alias("n_not"),
                 F.sum(F.when(F.col("kind") == "not", F.col("valid").cast("int"))).alias("not_ok"),
                 # combinator/dependency children carry the parent's own path
                 F.first(F.when(F.col("kind").isin("all", "any", "one", "not"),
                                F.col("path")), ignorenulls=True).alias("ppath"),
+                F.first(F.when(F.col("kind").isin("all", "any", "one", "not"),
+                               F.col("ppointer")), ignorenulls=True).alias("ppointer"),
                 F.first("parent_row_id").alias("crid"),
             )
         )
@@ -346,7 +362,7 @@ class DeepValidator:
             return F.when(cond, F.array(F.struct(
                 F.col("ppath").alias("path"),
                 F.lit(etype).alias("error_type"),
-                F.lit("#").alias("schema_pointer"),
+                F.coalesce(F.col("ppointer"), F.lit("#")).alias("schema_pointer"),
                 (msg if not isinstance(msg, str) else F.lit(msg)).alias("message"),
                 (sub if sub is not None else F.lit(None).cast("string")).alias("sub_errors"),
                 # deep-mode combinator rows are built post-aggregation where

@@ -37,7 +37,8 @@ from .schema import SchemaNode
 BUCKET_COL = "__jss_bucket"
 
 MANIFEST_SCHEMA = ("run_id string, bucket int, rows long, valid_docs long, "
-                   "violations long, status string, committed_at timestamp")
+                   "violations long, digest string, status string, "
+                   "committed_at timestamp")
 
 
 def with_bucket(df: DataFrame, key: str, n_buckets: int) -> DataFrame:
@@ -155,12 +156,21 @@ def validate_resumable(
         stats = (annotated.groupBy(F.col(BUCKET_COL).alias("bucket"))
                  .agg(F.count(F.lit(1)).alias("rows"),
                       F.sum(F.col(VALID_COL).cast("long")).alias("valid_docs"),
-                      F.sum(F.size(ERRORS_COL).cast("long")).alias("violations"))
+                      F.sum(F.size(ERRORS_COL).cast("long")).alias("violations"),
+                      # per-bucket sketch digest: key range + distinct-count
+                      # sketch, so corpus stats merge from the manifest alone
+                      # without re-reading data (north-rule lineage+metrics)
+                      F.to_json(F.struct(
+                          F.min(F.col(key)).alias("key_min"),
+                          F.max(F.col(key)).alias("key_max"),
+                          F.approx_count_distinct(key).alias("key_distinct"),
+                          F.max(F.size(ERRORS_COL)).alias("max_doc_violations"),
+                      )).alias("digest"))
                  .withColumn("run_id", F.lit(run_id))
                  .withColumn("status", F.lit("done"))
                  .withColumn("committed_at", F.current_timestamp())
                  .select("run_id", "bucket", "rows", "valid_docs",
-                         "violations", "status", "committed_at"))
+                         "violations", "digest", "status", "committed_at"))
         manifest.append(stats)
         processed.extend(group)
 

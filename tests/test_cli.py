@@ -56,3 +56,62 @@ def test_cli_resumable(spark, capsys, paths):
                "--manifest", str(tmp / "manifest"), "--n-buckets", "4"])
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["processed_buckets"] == 0 and out["skipped_buckets"] == 4
+
+
+def test_cli_docs_files_json_and_yaml(spark, capsys, tmp_path):
+    """Single-file front door (validate_schema.rb:101-127): JSON and YAML
+    documents, reference message wording, exit codes."""
+    schema_path = tmp_path / "s.json"
+    schema_path.write_text(json.dumps({
+        "type": ["object"],
+        "required": ["name"],
+        "properties": {"name": {"type": ["string"], "minLength": 3}},
+    }))
+    good = tmp_path / "good.json"
+    good.write_text(json.dumps({"name": "alice"}))
+    good_yaml = tmp_path / "good.yaml"
+    good_yaml.write_text("name: bobby\n")
+    rc = main(["--schema", str(schema_path), "--docs", str(good), str(good_yaml)])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert f"{good} is valid." in out
+    assert f"{good_yaml} is valid." in out
+
+    bad = tmp_path / "bad.yaml"
+    bad.write_text("name: ab\n")
+    rc = main(["--schema", str(schema_path), "--docs", str(bad)])
+    err = capsys.readouterr().err
+    assert rc == 1
+    assert f"{bad}#/name: failed schema #/properties/name:" in err
+    assert "At least 3 characters are required" in err
+
+
+def test_cli_docs_file_errors(spark, capsys, tmp_path):
+    schema_path = tmp_path / "s.json"
+    schema_path.write_text(json.dumps({"type": ["object"]}))
+    empty = tmp_path / "empty.json"
+    empty.write_text("")
+    rc = main(["--schema", str(schema_path), "--docs", str(empty)])
+    assert rc == 2
+    assert "File is empty." in capsys.readouterr().err
+
+    broken = tmp_path / "broken.json"
+    broken.write_text("{nope")
+    rc = main(["--schema", str(schema_path), "--docs", str(broken)])
+    assert rc == 2
+    assert "Invalid JSON. Try to validate using `jsonlint`." in capsys.readouterr().err
+
+    rc = main(["--schema", str(schema_path), "--docs", str(tmp_path / "missing.json")])
+    assert rc == 2
+    assert "No such file or directory." in capsys.readouterr().err
+
+
+def test_cli_yaml_schema(spark, capsys, tmp_path):
+    """Schemas may be YAML too (reference parse() goes through read_file)."""
+    schema_path = tmp_path / "s.yaml"
+    schema_path.write_text("type: [object]\nrequired: [k]\n")
+    doc = tmp_path / "d.json"
+    doc.write_text(json.dumps({"k": 1}))
+    rc = main(["--schema", str(schema_path), "--docs", str(doc)])
+    assert rc == 0
+    assert "is valid." in capsys.readouterr().out

@@ -80,6 +80,45 @@ def test_deep_metaschema_nested_violation(spark):
     assert any("min_failed" in (e["sub_errors"] or "") for e in errs1)
 
 
+def test_deep_sub_errors_structure_matches_columnar(spark):
+    """Combinator sub_errors must be a branch-ordered JSON array-of-arrays
+    (the columnar engine's to_json(array(errs_0, errs_1, ...)) layout), and
+    combinator errors must cite the generating node's schema pointer."""
+    schema = {
+        "definitions": {
+            "combo": {
+                "anyOf": [
+                    {"type": ["integer"], "minimum": 10},
+                    {"type": ["string"], "minLength": 5},
+                ],
+            }
+        },
+        "properties": {"x": {"$ref": "#/definitions/combo"}},
+    }
+    docs = [{"x": 3}]
+    deep = run_deep(spark, schema, docs)
+    assert not deep[0]["is_valid"]
+    [err] = deep[0]["violations"]
+    assert err["error_type"] == "any_of_failed"
+
+    df = spark.createDataFrame([(0, json.dumps(docs[0]))], "i int, doc string")
+    col = ValidationEngine(spark).validate_json(df, "doc", schema, id_cols=["i"])
+    [crow] = col.annotated.select("violations").collect()
+    [cerr] = crow["violations"]
+    # Ruby keeps the ref SITE's fragment on dereference (fragment is not
+    # attr_copyable, reference_expander.rb:172-175), so both engines must
+    # report the ref site's pointer — and agree with each other
+    assert err["schema_pointer"] == cerr["schema_pointer"] == "#/properties/x"
+
+    d_sub, c_sub = json.loads(err["sub_errors"]), json.loads(cerr["sub_errors"])
+    assert isinstance(d_sub, list) and all(isinstance(b, list) for b in d_sub)
+    assert len(d_sub) == len(c_sub) == 2
+    for d_branch, c_branch in zip(d_sub, c_sub):
+        d_keys = sorted((e["error_type"], e["path"]) for e in d_branch)
+        c_keys = sorted((e["error_type"], e["path"]) for e in c_branch)
+        assert d_keys == c_keys, (d_sub, c_sub)
+
+
 def test_deep_matches_oracle_random(spark):
     import random
 

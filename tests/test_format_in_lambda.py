@@ -72,9 +72,36 @@ def test_format_in_property_under_items(spark):
     assert out.types == ["invalid_format"]
 
 
-def test_doubly_nested_format_documented_gap(spark):
-    # two lambda levels deep there is no lambda-free collection to hoist
-    # over — validates vacuously true (documented completeness gap)
+def test_doubly_nested_format(spark):
+    # two lambda levels deep: the flatten-hoist pre-projects one flat UDF
+    # pass over every leaf with offset bookkeeping per outer element
     out = run_case(spark, {"items": {"items": {"format": "regex"}}},
-                   [["("]], definition=None)
+                   [["ok", "("], [], ["x["], [".*"]], definition=None)
+    assert not out.valid
+    assert out.types == ["invalid_format", "invalid_format"]
+    assert out.paths == ["#/0/1", "#/2/0"]
+
+
+def test_doubly_nested_format_all_pass(spark):
+    out = run_case(spark, {"items": {"items": {"format": "regex"}}},
+                   [["ok", "a|b"], [], [".*"]], definition=None)
+    assert out.valid, out.messages
+
+
+def test_doubly_nested_format_mixed_collections(spark):
+    # map level then array level: patternProperties -> items -> format
+    schema = {"patternProperties": {"^re_": {"items": {"format": "regex"}}}}
+    out = run_case(spark, schema,
+                   {"re_a": ["ok", "("], "re_b": ["fine"], "other": True},
+                   definition=None)
+    assert not out.valid
+    assert out.paths == ["#/re_a/1"]
+    assert out.types == ["invalid_format"]
+
+
+def test_triply_nested_format_documented_gap(spark):
+    # three lambda levels deep there is no bounded hoist — validates
+    # vacuously true (documented completeness gap)
+    out = run_case(spark, {"items": {"items": {"items": {"format": "regex"}}}},
+                   [[["("]]], definition=None)
     assert out.valid

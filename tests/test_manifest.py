@@ -50,6 +50,20 @@ def test_resume_after_crash(spark, docs, tmp_path):
     assert [tuple(r) for r in actual.collect()] == [tuple(r) for r in expected.collect()]
     assert summary["violations"] == direct.violations.count()
 
+    # every committed bucket carries a sketch digest mergeable without a
+    # data re-read: key range, distinct sketch, per-doc violation ceiling
+    import json as _json
+
+    digests = [_json.loads(r["digest"]) for r in
+               spark.read.parquet(manifest_path).select("digest").collect()]
+    assert len(digests) == 8
+    for d in digests:
+        assert d["key_min"] <= d["key_max"]
+        assert d["key_distinct"] > 0
+        assert d["max_doc_violations"] >= 0
+    assert min(d["key_min"] for d in digests) == f"doc_{0:012d}"
+    assert max(d["key_max"] for d in digests) == f"doc_{CFG.n_docs - 1:012d}"
+
 
 def test_staging_enables_partition_pruning(spark, docs, tmp_path):
     """The judge-visible scan contract: a commit group over the staged
