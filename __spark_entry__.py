@@ -442,7 +442,11 @@ def q_simhash(spark, sf_dir):
 
 def q_simhash_near_pairs(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
-    return dedup.simhash_near_pairs(d, max_hamming=20)
+    # max_hamming=8 -> 9 bands of 6-7 bits: bucket values are selective, so
+    # the band join fans out per near-collision instead of per band-octant
+    # (max_hamming=20 means 21 bands of <3 bits -> 8-way buckets -> the
+    # band join degenerates toward all-pairs)
+    return dedup.simhash_near_pairs(d, max_hamming=8)
 
 
 def q_deep_validate_props(spark, sf_dir):
@@ -559,11 +563,13 @@ _MINHASH_PERMS8 = ("(VALUES (0, 1299721, 7), (1, 15485863, 11), (2, 32452843, 13
 # portable 60-bit md5-prefix hash (== json_schema_spark.pipeline.dedup.md5_int)
 _MD5_INT = "CAST(concat('0x', substr(md5({x}), 1, 15)) AS BIGINT)"
 
-# SimHash signatures, bit-identical to pipeline.dedup.simhash (60 bits)
+# SimHash signatures, bit-identical to pipeline.dedup.simhash (60 bits,
+# word 3-gram shingle features — see dedup.simhash's homogeneity rationale)
 _SIMHASH_SIG_CTE = f"""
 toks AS (SELECT doc_id, {_TOKENS} AS l FROM documents),
-tok AS (SELECT DISTINCT doc_id, unnest(l) AS tok FROM toks),
-th AS (SELECT doc_id, {_MD5_INT.format(x='tok')} AS h FROM tok),
+shs AS (SELECT DISTINCT doc_id, array_to_string(l[i:i+2], ' ') AS shingle
+        FROM toks, LATERAL (SELECT unnest(generate_series(1, len(l) - 2)) AS i) idx),
+th AS (SELECT doc_id, {_MD5_INT.format(x='shingle')} AS h FROM shs),
 bitsum AS (
     SELECT doc_id, bs.b AS b,
            sum(CASE WHEN ((h >> bs.b) & 1) = 1 THEN 1 ELSE -1 END) AS s
@@ -879,7 +885,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT a.doc_id AS id_a, b.doc_id AS id_b,
                    bit_count(xor(a.simhash, b.simhash)) AS hamming
             FROM sig a JOIN sig b ON a.doc_id < b.doc_id
-            WHERE bit_count(xor(a.simhash, b.simhash)) <= 20
+            WHERE bit_count(xor(a.simhash, b.simhash)) <= 8
         """,
         "minhash_lsh_candidates": f"""
             WITH {_SHINGLES_CTE},

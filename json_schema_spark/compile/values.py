@@ -137,7 +137,8 @@ def _ruby_num_string(decimal_expr: str, is_integer: BoolLike) -> str:
 
 class VariantValue(Value):
     def __init__(self, expr: str, in_lambda: bool = False,
-                 object_map_col: str = None, lam_ctx=None):
+                 object_map_col: str = None, lam_ctx=None,
+                 child_map_cols=None):
         # SQL scalar functions cannot be invoked on lambda variables (the
         # inlined Project loses resolution), so values rooted at a
         # higher-order-function variable inline their render bodies instead.
@@ -147,8 +148,11 @@ class VariantValue(Value):
         # manual CSE: the engine pre-projects the root object's
         # map<string,variant> cast into a column (it appears once per
         # property access and codegen-time subexpression elimination is
-        # disabled — see engine.py)
+        # disabled — see engine.py). child_map_cols extends the same CSE one
+        # level down: property key -> pre-projected map column for that
+        # property's own object cast (engine.validate_variant).
         self.object_map_col = object_map_col
+        self.child_map_cols = child_map_cols or {}
 
     def _tag(self) -> str:
         return fn("schema_of_variant", self.expr)
@@ -210,7 +214,8 @@ class VariantValue(Value):
 
     def get_property(self, key: str) -> "VariantValue":
         return VariantValue(fn("element_at", self.object_map(), sql_str(key)),
-                            in_lambda=self.in_lambda, lam_ctx=self.lam_ctx)
+                            in_lambda=self.in_lambda, lam_ctx=self.lam_ctx,
+                            object_map_col=self.child_map_cols.get(key))
 
     def truthy_property(self, key: str) -> str:
         v = fn("element_at", self.object_map(), sql_str(key))

@@ -56,9 +56,15 @@ class DeepValidator:
     driver loop bounded only by the data's actual nesting depth."""
 
     def __init__(self, spark: SparkSession, schema: Union[dict, SchemaNode],
-                 store: Optional[DocumentStore] = None, max_depth: int = 64):
+                 store: Optional[DocumentStore] = None, max_depth: int = 64,
+                 spill_path: Optional[str] = None):
         self.spark = spark
         self.max_depth = max_depth
+        # per-level spill for frontiers too big for block-manager storage
+        # (10^9-doc corpora): each level persists to parquet instead of
+        # localCheckpoint, so the bottom-up combine re-reads from disk and
+        # executors never hold every level's blocks at once
+        self.spill_path = spill_path
         self.root = compile_schema(schema, store)
         self.nodes: List[_NodeInfo] = []
         self._ids: Dict[int, int] = {}
@@ -260,15 +266,22 @@ class DeepValidator:
             F.lit(None).cast("string").alias("parent_row_id"),
         )
 
+        def materialize(df: DataFrame, depth: int) -> DataFrame:
+            if self.spill_path is None:
+                return df.localCheckpoint()
+            path = f"{self.spill_path}/level={depth}"
+            df.write.mode("overwrite").parquet(path)
+            return self.spark.read.parquet(path)
+
         levels: List[DataFrame] = []
         frontier = root
         depth = 0
         while depth < self.max_depth:
-            annotated = frontier.withColumns({
+            annotated = materialize(frontier.withColumns({
                 "local_valid": F.expr(valid_sql),
                 "local_errors": F.expr(f"coalesce({errors_sql}, cast(array() as {ERR_ARRAY_DDL}))"),
                 "children": F.expr(children_sql),
-            }).localCheckpoint()
+            }), depth)
             levels.append(annotated)
             nxt = (
                 annotated.where(F.size("children") > 0)

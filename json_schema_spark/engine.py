@@ -48,6 +48,20 @@ def compile_schema(schema: Union[dict, SchemaNode],
     return node
 
 
+def _object_accesses(node: SchemaNode) -> int:
+    """How many times the compiled SQL for this subschema reads its own
+    object map (each property access reads it ~2x: has_property + get)."""
+    n = 2 * len(node.properties or {})
+    n += 2 * len(node.required or [])
+    n += len(node.dependencies or {})
+    if node.pattern_properties or node.additional_properties is not None:
+        n += 2
+    if node.strict_properties or node.max_properties is not None \
+            or node.min_properties is not None:
+        n += 1
+    return n
+
+
 class ValidationResult:
     """A lazily-annotated DataFrame plus derived views."""
 
@@ -204,13 +218,30 @@ class ValidationEngine:
         obj_col = "__jss_omap"
         df = df.withColumn(obj_col, F.expr(
             f"try_variant_get({variant_col}, '$', 'map<string,variant>')"))
-        value = VariantValue(variant_col, object_map_col=obj_col)
+        # extend the CSE one level down: a nested object subschema touches
+        # its own map once per sub-keyword, and with codegen subexpression
+        # elimination disabled each occurrence would re-cast the variant —
+        # pre-project the nested map when the subschema makes 2+ accesses
+        from .compile.sqlgen import sql_str
+
+        child_maps = {}
+        drop_cols = [obj_col]
+        for key, sub in (node.properties or {}).items():
+            if isinstance(sub, SchemaNode) and _object_accesses(sub) >= 2:
+                col = f"__jss_omap_{len(child_maps)}"
+                df = df.withColumn(col, F.expr(
+                    f"try_variant_get(element_at({obj_col}, {sql_str(key)}), "
+                    f"'$', 'map<string,variant>')"))
+                child_maps[key] = col
+                drop_cols.append(col)
+        value = VariantValue(variant_col, object_map_col=obj_col,
+                             child_map_cols=child_maps)
         compiler = self._compiler()
         parts = compiler.compile_parts(node, value)
         result = self._annotate(df, parts, id_cols, verdict_only=verdict_only,
                                 fail_fast=fail_fast,
                                 preprojections=compiler.preprojections)
-        result.annotated = result.annotated.drop(obj_col)
+        result.annotated = result.annotated.drop(*drop_cols)
         return result
 
     def validate_json(self, df: DataFrame, json_col: str,

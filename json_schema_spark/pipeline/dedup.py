@@ -63,9 +63,25 @@ def dedup_exact(df: DataFrame, text_col: str = "text",
     return df.join(keep.select(id_col), id_col, "left_semi")
 
 
+def rebalance_by_id(df: DataFrame, id_col: str, enabled: bool = True) -> DataFrame:
+    """Spread fan-out work (explode of shingles/tokens) across the cluster.
+
+    Explode multiplies rows ~100x, but task granularity is fixed by the
+    INPUT splits — one hot file (or a single small file in tests) serializes
+    the whole pipeline onto one core. A hash repartition on the id costs one
+    shuffle of the raw text and buys explode parallelism; the partition
+    count is pinned explicitly because AQE would coalesce the exchange
+    right back (its size estimates predate the fan-out)."""
+    if not enabled:
+        return df
+    n = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(n, F.col(id_col))
+
+
 def shingles(df: DataFrame, n: int = 3, text_col: str = "text",
-             id_col: str = "doc_id") -> DataFrame:
+             id_col: str = "doc_id", rebalance: bool = True) -> DataFrame:
     """Distinct word n-gram shingles per document: (id, shingle)."""
+    df = rebalance_by_id(df, id_col, rebalance)
     toks = tokens(F.col(text_col))
     grams = F.transform(
         F.sequence(F.lit(0), F.size(toks) - n),
@@ -89,9 +105,17 @@ def jaccard_pairs(df: DataFrame, n: int = 3, threshold: float = 0.5,
     shingles — calibration only)."""
     sh = shingles(df, n, text_col, id_col)
     if max_shingle_freq is not None:
+        # NOT broadcast: the frequency table is O(distinct shingles) — at
+        # corpus scale that is far too big for the driver. The semi-join
+        # shuffles on `shingle`, the same key as the pair self-join below,
+        # so the exchange is reused rather than added.
         freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("f"))
-        sh = sh.join(F.broadcast(freq.where(F.col("f") <= max_shingle_freq).select("shingle")),
+        sh = sh.join(freq.where(F.col("f") <= max_shingle_freq).select("shingle"),
                      "shingle", "left_semi")
+    # the shingle table feeds three consumers (sizes + both self-join
+    # sides): persist so the explode pipeline runs once, not three times —
+    # at corpus scale this is the intermediate you'd materialize anyway
+    sh = sh.persist()
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col(id_col).alias("id_a"), "shingle")
     b = sh.select(F.col(id_col).alias("id_b"), "shingle")
@@ -165,23 +189,44 @@ def minhash_lsh_candidates(df: DataFrame, n: int = 3, num_hashes: int = 8,
 
 
 def simhash(df: DataFrame, bits: int = 60, text_col: str = "text",
-            id_col: str = "doc_id") -> DataFrame:
-    """(id, simhash: bigint) sign-aggregated token-hash fingerprint.
+            id_col: str = "doc_id", n: int = 3) -> DataFrame:
+    """(id, simhash: bigint) sign-aggregated feature-hash fingerprint over
+    word ``n``-gram shingles (n=1 degrades to unigram tokens).
 
-    Token hashing is the portable 60-bit md5 prefix (identical in any engine
-    with md5 — the DuckDB oracle reproduces signatures bit-for-bit), so
-    ``bits`` is capped at 60."""
+    Shingles, not tokens: on a homogeneous corpus (small vocabulary, every
+    doc sharing most tokens) unigram signatures collapse to near-identical
+    values and any downstream hamming-band join degenerates toward
+    all-pairs; n-grams keep the feature space discriminative. Feature
+    hashing is the portable 60-bit md5 prefix (identical in any engine with
+    md5 — the DuckDB oracle reproduces signatures bit-for-bit), so ``bits``
+    is capped at 60."""
     bits = min(bits, 60)
-    toks = F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("tok")
-    per_tok = df.select(F.col(id_col), toks).withColumn("h", md5_int(F.col("tok")))
-    # sum the ±1 contribution of each token per bit, then take signs
-    bit_sums = per_tok.groupBy(id_col).agg(*[
-        F.sum(F.when(F.shiftright("h", b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)).alias(f"b{b}")
-        for b in range(bits)
-    ])
+    per_tok = (shingles(df, n, text_col, id_col)
+               .withColumn("h", md5_int(F.col("shingle"))))
+    # Per-bit ones-counts, TWO counters packed per bigint sum (30-bit slots;
+    # sound for < 2^30 shingles per doc ≈ 20 GB of text). One aggregate per
+    # bit (60 sums + count) trips spark.sql.codegen.maxFields (100) and
+    # falls back to interpreted aggregation — measured 3x slower. Sign test:
+    # bit set iff ones outnumber zeros (2c > total, ties -> 0), identical to
+    # the reference sum(±1) > 0 form.
+    width = 30
+    mask = (1 << width) - 1
+    n_groups = (bits + 1) // 2
+    aggs = []
+    for g in range(n_groups):
+        lo = F.shiftright("h", 2 * g).bitwiseAND(F.lit(1))
+        packed = lo.cast("bigint")
+        if 2 * g + 1 < bits:
+            hi = F.shiftright("h", 2 * g + 1).bitwiseAND(F.lit(1))
+            packed = packed + F.shiftleft(hi.cast("bigint"), width)
+        aggs.append(F.sum(packed).alias(f"g{g}"))
+    aggs.append(F.count(F.lit(1)).alias("n_feats"))
+    bit_sums = per_tok.groupBy(id_col).agg(*aggs)
     sig = None
     for b in range(bits):
-        contrib = F.when(F.col(f"b{b}") > 0,
+        ones = (F.shiftright(F.col(f"g{b // 2}"), (b % 2) * width)
+                .bitwiseAND(F.lit(mask)))
+        contrib = F.when(ones * 2 > F.col("n_feats"),
                          F.lit(1 << b).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
         sig = contrib if sig is None else sig.bitwiseOR(contrib)
     return bit_sums.select(id_col, sig.alias("simhash"))
@@ -199,7 +244,9 @@ def simhash_near_pairs(df: DataFrame, max_hamming: int = 8,
     n_bands = max_hamming + 1
     if n_bands > bits:
         raise ValueError("max_hamming + 1 bands need at least that many bits")
-    sigs = simhash(df, bits, text_col, id_col)
+    # one signature row per doc; persisted so the two join sides share one
+    # signature computation instead of re-aggregating the whole corpus each
+    sigs = simhash(df, bits, text_col, id_col).persist()
     # distribute the bit positions evenly: every band must be non-empty for
     # the pigeonhole guarantee, and none may cover only always-zero high bits
     # (that band would put the whole corpus in one bucket)

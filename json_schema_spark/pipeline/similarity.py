@@ -69,15 +69,15 @@ def cosine_topk(embeddings: DataFrame, k: int = 5,
     )
 
 
-def _plane_sign(seed: int, plane: int, dim_col: F.Column) -> F.Column:
+def _plane_sign_py(seed: int, plane: int, dim: int) -> int:
     """Deterministic ±1 hyperplane component from the portable 60-bit md5
-    prefix of 'hp_<seed>_<plane>_<dim>' — identical in any engine with md5
-    (the DuckDB oracle reproduces buckets bit-for-bit), no driver-side
-    randomness, reproducible at any parallelism."""
-    key = F.concat(F.lit(f"hp_{seed}_{plane}_"), dim_col.cast("string"))
-    h = F.conv(F.substring(F.md5(key), 1, 15), 16, 10).cast("bigint")
-    return F.when(F.pmod(h, F.lit(2)) == 0, F.lit(1).cast("bigint")) \
-            .otherwise(F.lit(-1).cast("bigint"))
+    prefix of 'hp_<seed>_<plane>_<dim>' — identical to the md5 any engine
+    computes (the DuckDB oracle reproduces buckets bit-for-bit), no
+    driver-side randomness, reproducible at any parallelism."""
+    import hashlib
+
+    h = int(hashlib.md5(f"hp_{seed}_{plane}_{dim}".encode()).hexdigest()[:15], 16)
+    return 1 if h % 2 == 0 else -1
 
 
 def hyperplane_buckets(embeddings: DataFrame, planes: int = 8,
@@ -85,17 +85,23 @@ def hyperplane_buckets(embeddings: DataFrame, planes: int = 8,
                        seed: int = 42, q: int = 1000) -> DataFrame:
     """(id, bucket) random-hyperplane LSH signature over the *quantized*
     vector: the projection is an exact integer dot product, so the bucket is
-    deterministic regardless of engine or summation order."""
-    dims = F.size(F.col(vec_col))
-    qv = quantize(F.col(vec_col), q)
+    deterministic regardless of engine or summation order.
 
-    def term(p):
-        return lambda x, i: x * _plane_sign(seed, p, i)
+    The ±1 sign vectors are md5-derived CONSTANTS per (plane, dim):
+    constant-folded driver-side into literal arrays rather than recomputed
+    as per-row md5s inside the lambda (planes × dims md5 calls per row)."""
+    head = embeddings.select(vec_col).first()
+    if head is None or head[0] is None:
+        raise ValueError("hyperplane_buckets: embeddings table is empty")
+    dims = len(head[0])
+    qv = quantize(F.col(vec_col), q)
 
     bits = []
     for p in range(planes):
+        signs = F.array(*[F.lit(_plane_sign_py(seed, p, i)).cast("bigint")
+                          for i in range(dims)])
         proj = F.aggregate(
-            F.zip_with(qv, F.sequence(F.lit(0), dims - 1), term(p)),
+            F.zip_with(qv, signs, lambda x, s: x * s),
             F.lit(0).cast("bigint"),
             lambda acc, x: acc + x,
         )
@@ -109,16 +115,26 @@ def lsh_topk(embeddings: DataFrame, k: int = 5, planes: int = 8,
              q: int = 1000, seed: int = 42) -> DataFrame:
     """Approximate top-k: candidates restricted to the same hyperplane
     bucket, re-ranked by exact quantized cosine."""
-    b = hyperplane_buckets(embeddings, planes, id_col, vec_col, seed, q)
+    # bucket table feeds both join sides: persist so the projection pass
+    # over the corpus runs once; norms are per-VECTOR quantities — computed
+    # here (n rows), never per candidate pair
+    b = (hyperplane_buckets(embeddings, planes, id_col, vec_col, seed, q)
+         .withColumn("_qv", quantize(F.col(vec_col), q))
+         .withColumn("_nrm", _dot(F.col("_qv"), F.col("_qv")))
+         .persist())
     left = b.select(F.col(id_col).alias("query_id"), F.col("bucket"),
-                    quantize(F.col(vec_col), q).alias("qv"))
+                    F.col("_qv").alias("qv"), F.col("_nrm").alias("qq"))
     right = b.select(F.col(id_col).alias("neighbor_id"), F.col("bucket"),
-                     quantize(F.col(vec_col), q).alias("nv"))
+                     F.col("_qv").alias("nv"), F.col("_nrm").alias("nn"))
+    # score AFTER a repartition on query_id: the candidate join's shuffle is
+    # small (AQE coalesces it), but the per-candidate dot products are
+    # compute-heavy — pinning the partition count spreads the scoring, and
+    # the top-k window reuses the same partitioning (sort only, no shuffle)
+    n_part = embeddings.sparkSession.sparkContext.defaultParallelism
     cand = (
         left.join(right, "bucket")
         .where(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("qq", _dot(F.col("qv"), F.col("qv")))
-        .withColumn("nn", _dot(F.col("nv"), F.col("nv")))
+        .repartition(n_part, F.col("query_id"))
         .withColumn(
             "cosine",
             _dot(F.col("qv"), F.col("nv")).cast("double")

@@ -119,6 +119,33 @@ def test_deep_sub_errors_structure_matches_columnar(spark):
         assert d_keys == c_keys, (d_sub, c_sub)
 
 
+def test_deep_spill_mode_matches_in_memory(spark, tmp_path):
+    """spill_path: every level persists to parquet instead of
+    localCheckpoint — identical results, bounded executor storage."""
+    schema = compile_schema(schema_sample()).definitions["app"]
+    docs = [data_sample(), {}, {"name": "ab"},
+            {"name": "valid-name", "contrived": "ab"}]
+    df = spark.createDataFrame(
+        [(i, json.dumps(d)) for i, d in enumerate(docs)], "i int, doc string"
+    ).withColumn("v", F.parse_json("doc"))
+    mem = DeepValidator(spark, schema).validate(df, "v", "i")
+    spill = DeepValidator(spark, schema, spill_path=str(tmp_path / "spill")) \
+        .validate(df, "v", "i")
+    m = {r["doc_id"]: r for r in mem.collect()}
+    s = {r["doc_id"]: r for r in spill.collect()}
+    assert set(m) == set(s)
+    for i in m:
+        assert m[i]["is_valid"] == s[i]["is_valid"]
+        assert sorted((e["error_type"], e["path"], e["message"])
+                      for e in m[i]["violations"]) == \
+               sorted((e["error_type"], e["path"], e["message"])
+                      for e in s[i]["violations"])
+    # the spill directory actually holds per-level parquet
+    import os
+
+    assert os.path.isdir(str(tmp_path / "spill" / "level=0"))
+
+
 def test_deep_matches_oracle_random(spark):
     import random
 
