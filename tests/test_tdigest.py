@@ -1,0 +1,94 @@
+"""TDigest sketch + drift path (north_star: per-partition TDigest sketches
+merged via treeAggregate). Accuracy is checked against exact computations;
+the Spark path is cross-checked against the exact-histogram drift report."""
+
+import math
+import random
+
+import pytest
+
+from json_schema_spark.checks.drift import (drift_report,
+                                            drift_report_tdigest)
+from json_schema_spark.checks.tdigest import TDigest, ks_statistic, psi
+
+
+def test_quantiles_close_to_exact():
+    rng = random.Random(7)
+    values = [rng.lognormvariate(0, 1) for _ in range(50_000)]
+    d = TDigest(100)
+    d.add_many(values)
+    s = sorted(values)
+    for q in (0.01, 0.1, 0.5, 0.9, 0.99):
+        exact = s[int(q * (len(s) - 1))]
+        approx = d.quantile(q)
+        assert abs(approx - exact) / max(exact, 1e-9) < 0.05, (q, exact, approx)
+    assert d.quantile(0) == min(values)
+    assert d.quantile(1) == max(values)
+    # k1-scale size: ~δ in the body plus O(δ·log n) singleton tails
+    assert len(d.centroids) <= 8 * d.compression
+
+
+def test_cdf_monotone_and_bounded():
+    rng = random.Random(8)
+    d = TDigest(50)
+    d.add_many([rng.gauss(10, 3) for _ in range(10_000)])
+    xs = [d.min + i * (d.max - d.min) / 100 for i in range(101)]
+    cdfs = [d.cdf(x) for x in xs]
+    assert cdfs[0] <= 0.01 and cdfs[-1] >= 0.99
+    assert all(a <= b + 1e-12 for a, b in zip(cdfs, cdfs[1:]))
+
+
+def test_merge_matches_single_digest():
+    rng = random.Random(9)
+    values = [rng.expovariate(0.5) for _ in range(40_000)]
+    whole = TDigest(100)
+    whole.add_many(values)
+    parts = TDigest(100)
+    for i in range(0, len(values), 5_000):
+        p = TDigest(100)
+        p.add_many(values[i:i + 5_000])
+        parts.merge(p)
+    assert parts.count == whole.count
+    for q in (0.05, 0.5, 0.95):
+        a, b = whole.quantile(q), parts.quantile(q)
+        assert abs(a - b) / max(abs(a), 1e-9) < 0.05, (q, a, b)
+
+
+def test_ks_same_vs_shifted():
+    rng = random.Random(10)
+    a, b, c = TDigest(100), TDigest(100), TDigest(100)
+    a.add_many([rng.gauss(0, 1) for _ in range(20_000)])
+    b.add_many([rng.gauss(0, 1) for _ in range(20_000)])
+    c.add_many([rng.gauss(2, 1) for _ in range(20_000)])
+    assert ks_statistic(a, b) < 0.05
+    # KS of N(0,1) vs N(2,1) is ~0.68 analytically
+    assert abs(ks_statistic(a, c) - 0.68) < 0.08
+    assert psi(a, b) < 0.05
+    assert psi(a, c) > 1.0
+
+
+def test_spark_tdigest_drift_matches_exact_histogram(spark):
+    e = spark.read.parquet("/root/testdata/sf0.01/events.parquet")
+    ref = e.where(e.event_type == "click").select("value")
+    cur = e.where(e.event_type == "purchase").select("value")
+    exact = drift_report(ref, cur, "value", bins=512)
+    sketched = drift_report_tdigest(ref, cur, "value", compression=200)
+    assert sketched["n_reference"] == exact["n_reference"]
+    assert sketched["n_current"] == exact["n_current"]
+    # same KS up to sketch + bin resolution
+    assert abs(sketched["ks_statistic"] - exact["ks_statistic"]) < 0.05, (
+        sketched["ks_statistic"], exact["ks_statistic"])
+    qs = sketched["quantiles_reference"]
+    assert qs[0.25] <= qs[0.5] <= qs[0.75]
+
+
+def test_spark_tdigest_many_partitions(spark):
+    """treeAggregate merge across many small partitions equals the
+    distribution regardless of partitioning."""
+    from json_schema_spark.checks.drift import column_tdigest
+
+    df = spark.range(0, 20_000, 1, 64).selectExpr("cast(id % 1000 as double) as v")
+    d = column_tdigest(df, "v", compression=100)
+    assert int(d.count) == 20_000
+    assert abs(d.quantile(0.5) - 500) < 25
+    assert d.min == 0.0 and d.max == 999.0
