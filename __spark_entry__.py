@@ -222,6 +222,10 @@ def q_scaffold_violations(spark, sf_dir):
     docs = _scaffold_docs()
     doc = F.element_at(F.array(*[F.lit(s) for s in docs]),
                        (F.col("doc_id") % 20 + 1).cast("int"))
+    # NOTE: no repartition here — the scaffold expression tree is large, so
+    # per-task plan instantiation dominates tiny tasks (measured: 32-way
+    # fan-out of the 5k-row sf table SLOWER than single-task). At real scale
+    # the input's own splits amortize instantiation over millions of rows.
     df = d.select("doc_id", doc.alias("doc"))
     res = ValidationEngine(spark).validate_json(df, "doc", SCAFFOLD_SCHEMA,
                                                 id_cols=["doc_id"])

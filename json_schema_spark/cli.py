@@ -53,6 +53,24 @@ def _load_document(path: str):
         raise ValueError(f"{path}: Invalid JSON. Try to validate using `jsonlint`.")
 
 
+def _deep_annotated(spark, df, json_col: str, schema, store, id_col: str,
+                    fail_fast: bool = False):
+    """(id, is_valid, violations) via the deep engine — used for detect
+    mode, where the schema (draft-4 meta above all) is cyclic and static
+    compilation would unroll combinatorially."""
+    from pyspark.sql import functions as F
+
+    from .deep import DeepValidator
+
+    out = DeepValidator(spark, schema, store).validate(
+        df.withColumn("__v", F.parse_json(json_col)), "__v", id_col)
+    annotated = out.select(F.col("doc_id").alias(id_col), "is_valid", "violations")
+    if fail_fast:
+        annotated = annotated.withColumn(
+            "violations", F.slice("violations", 1, 1))
+    return annotated
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="json-schema-spark",
                                 description="Validate a document corpus against a JSON Schema")
@@ -109,6 +127,15 @@ def main(argv=None) -> int:
                 store.add_schema(Parser().parse_bang(json.load(fh)))
 
     if args.detect:
+        # corpus mode validates against the draft-4 meta-schema; --docs
+        # detect resolves each file's own $schema from the store, with the
+        # meta-schema pre-registered for convenience — exactly the
+        # reference's bin wiring (bin/validate-schema:17-20)
+        from .parser import Parser
+
+        meta_node = Parser().parse_bang(DRAFT4_META_SCHEMA)
+        if store.lookup_schema(meta_node.uri) is None:
+            store.add_schema(meta_node)
         schema = DRAFT4_META_SCHEMA
     elif args.schema:
         try:
@@ -142,27 +169,61 @@ def main(argv=None) -> int:
         # single-file mode: parse driver-side (JSON or YAML), one row per
         # file, validated through the identical compiled variant plan
         try:
-            rows = [(path, json.dumps(_load_document(path))) for path in args.docs]
+            parsed_docs = [(path, _load_document(path)) for path in args.docs]
         except ValueError as exc:
             print(f"document error: {exc}", file=sys.stderr)
             return 2
-        df = spark.createDataFrame(rows, "doc_path string, doc string")
-        result = engine.validate_json(df, "doc", schema, id_cols=["doc_path"],
-                                      store=store, fail_fast=args.fail_fast)
+
+        # group files by the schema that validates them: --detect resolves
+        # each file's $schema URI from the store (validate_schema.rb:39-49,
+        # exact error wording); otherwise all files share --schema
+        groups: dict = {}
+        if args.detect:
+            for path, data in parsed_docs:
+                uri = data.get("$schema") if isinstance(data, dict) else None
+                if not uri:
+                    print(f"{path}: No $schema tag for detection.", file=sys.stderr)
+                    return 2
+                if store.lookup_schema(uri) is None:
+                    print(f"{path}: Unknown $schema, try specifying one with -s.",
+                          file=sys.stderr)
+                    return 2
+                groups.setdefault(uri, []).append((path, data))
+        else:
+            groups[None] = parsed_docs
+
         ok = True
-        verdicts = {r["doc_path"]: r for r in
-                    result.annotated.select("doc_path", "is_valid", "violations").collect()}
-        for path in args.docs:
-            row = verdicts[path]
-            if row["is_valid"]:
-                print(f"{path} is valid.")
+        for uri, files in groups.items():
+            group_schema = schema if uri is None else store.lookup_schema(uri)
+            df = spark.createDataFrame(
+                [(p, json.dumps(d)) for p, d in files],
+                "doc_path string, doc string")
+            if args.detect:
+                # detected schemas (the meta-schema above all) are cyclic:
+                # static compilation unrolls combinatorially, deep mode is
+                # exact at any nesting depth with linear compile cost
+                annotated = _deep_annotated(spark, df, "doc", group_schema,
+                                            store, "doc_path",
+                                            fail_fast=args.fail_fast)
             else:
-                ok = False
-                # reference map_schema_errors: "#{file}#{error}" where the
-                # error already reads "#/path: failed schema #/ptr: msg"
-                for e in row["violations"]:
-                    print(f"{path}{e['path']}: failed schema "
-                          f"{e['schema_pointer']}: {e['message']}", file=sys.stderr)
+                annotated = engine.validate_json(
+                    df, "doc", group_schema, id_cols=["doc_path"],
+                    store=store, fail_fast=args.fail_fast).annotated
+            verdicts = {r["doc_path"]: r for r in
+                        annotated.select("doc_path", "is_valid",
+                                         "violations").collect()}
+            for path, _ in files:
+                row = verdicts[path]
+                if row["is_valid"]:
+                    print(f"{path} is valid.")
+                else:
+                    ok = False
+                    # reference map_schema_errors: "#{file}#{error}" where
+                    # the error reads "#/path: failed schema #/ptr: msg"
+                    for e in row["violations"]:
+                        print(f"{path}{e['path']}: failed schema "
+                              f"{e['schema_pointer']}: {e['message']}",
+                              file=sys.stderr)
         return 0 if ok else 1
 
     df = read_table(spark, args.data, fmt=args.format)
@@ -183,7 +244,17 @@ def main(argv=None) -> int:
         }))
         return 0
 
-    if args.json_col:
+    if args.detect:
+        if not args.json_col:
+            print("error: --detect over --data requires --json-col "
+                  "(schema documents are JSON strings)", file=sys.stderr)
+            return 2
+        from .engine import ValidationResult
+
+        annotated = _deep_annotated(spark, df, args.json_col, schema, store,
+                                    args.id_col, fail_fast=args.fail_fast)
+        result = ValidationResult(annotated, [args.id_col])
+    elif args.json_col:
         result = engine.validate_json(df, args.json_col, schema,
                                       id_cols=[args.id_col], store=store,
                                       verdict_only=args.verdict_only,

@@ -115,3 +115,62 @@ def test_cli_yaml_schema(spark, capsys, tmp_path):
     rc = main(["--schema", str(schema_path), "--docs", str(doc)])
     assert rc == 0
     assert "is valid." in capsys.readouterr().out
+
+
+def test_cli_docs_detect_mode(spark, capsys, tmp_path):
+    """--detect + --docs resolves each file's own $schema from the store
+    (validate_schema_test.rb:28-37 analog; draft-4 meta pre-registered like
+    bin/validate-schema:17-20)."""
+    doc = tmp_path / "s.json"
+    doc.write_text(json.dumps({
+        "$schema": "http://json-schema.org/draft-04/schema#",
+        "type": "object",
+        "properties": {"a": {"type": "integer"}},
+    }))
+    rc = main(["--detect", "--docs", str(doc)])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert f"{doc} is valid." in out
+
+    bad = tmp_path / "bad.json"
+    bad.write_text(json.dumps({
+        "$schema": "http://json-schema.org/draft-04/schema#",
+        "type": 12,
+    }))
+    rc = main(["--detect", "--docs", str(bad)])
+    assert rc == 1
+    assert "failed schema" in capsys.readouterr().err
+
+
+def test_cli_docs_detect_errors(spark, capsys, tmp_path):
+    """Reference wording for missing/unknown $schema
+    (validate_schema.rb:39-49)."""
+    no_tag = tmp_path / "no_tag.json"
+    no_tag.write_text(json.dumps({"type": "object"}))
+    rc = main(["--detect", "--docs", str(no_tag)])
+    assert rc == 2
+    assert f"{no_tag}: No $schema tag for detection." in capsys.readouterr().err
+
+    unknown = tmp_path / "unknown.json"
+    unknown.write_text(json.dumps({"$schema": "http://example.com/nope#"}))
+    rc = main(["--detect", "--docs", str(unknown)])
+    assert rc == 2
+    assert ("Unknown $schema, try specifying one with -s."
+            in capsys.readouterr().err)
+
+
+def test_cli_docs_detect_extra_schema(spark, capsys, tmp_path):
+    """--extra-schemas registers a custom $schema target for detection
+    (validate_schema_test.rb:49-58 analog)."""
+    custom = tmp_path / "custom_schema.json"
+    custom.write_text(json.dumps({
+        "id": "http://example.com/custom#",
+        "type": ["object"],
+        "required": ["k"],
+    }))
+    doc = tmp_path / "d.json"
+    doc.write_text(json.dumps({"$schema": "http://example.com/custom#", "k": 1}))
+    rc = main(["--detect", "--extra-schemas", str(custom), "--docs", str(doc)])
+    out = capsys.readouterr().out
+    assert rc == 0, out
+    assert f"{doc} is valid." in out

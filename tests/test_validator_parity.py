@@ -6,9 +6,9 @@ the scaffold schema via JSON pointer, set a data field, validate the
 ``app`` definition over a 1-row variant DataFrame, assert validity plus
 byte-exact messages / error types / data pointers.
 
-Deviation from the reference: the violations table does not carry the raw
-``data`` object as a separate column (the rendered value is embedded in the
-message), so ``error_data`` assertions are covered via messages.
+The reference's ``error_data`` (the raw offending datum, error.rb:39-59) is
+carried as the ``data_json`` violation column; its dedicated assertions
+live in tests/test_error_data.py.
 """
 
 from __future__ import annotations
