@@ -56,3 +56,33 @@ def streaming_violations(annotated: DataFrame, id_cols: List[str]) -> DataFrame:
         .select(*id_cols, F.explode(ERRORS_COL).alias("e"))
         .select(*id_cols, "e.path", "e.error_type", "e.message")
     )
+
+
+def validate_stream_deep(spark, stream_df: DataFrame,
+                         schema: Union[dict, SchemaNode],
+                         json_col: str, id_col: str,
+                         sink, store=None, max_depth: int = 64):
+    """Deep (cyclic-exact) validation of a stream.
+
+    The deep engine is a driver LOOP over frontier DataFrames — a shape one
+    streaming plan cannot express — so it runs per micro-batch inside
+    ``foreachBatch`` (the standard escape hatch for multi-pass batch logic
+    in a stream). The validator compiles ONCE here; each batch pays only
+    its own data passes.
+
+    ``sink(annotated_df, batch_id)`` receives (id, is_valid, violations)
+    per micro-batch. Returns the DataStreamWriter (caller adds checkpoint
+    options and calls .start())."""
+    from ..deep import DeepValidator
+
+    dv = DeepValidator(spark, schema, store, max_depth=max_depth)
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.take(1):
+            return
+        out = dv.validate(
+            batch_df.withColumn("__v", F.parse_json(F.col(json_col))),
+            "__v", id_col)
+        sink(out.withColumnRenamed("doc_id", id_col), batch_id)
+
+    return stream_df.writeStream.foreachBatch(process)

@@ -173,3 +173,22 @@ def test_unexpanded_ref_error_lists_refs():
     schema, ok, errors = parse_and_expand(sample)
     assert not ok
     assert any(e.error_type == "unresolved_references" for e in errors)
+
+
+def test_root_ref_with_definitions_unresolvable_matches_reference():
+    """A root document that is a $ref stub PLUS definitions: the reference
+    parser keeps $ref nodes as stubs (parser.rb:128-144 — siblings,
+    definitions included, are not parsed), so the short-circuit expansion
+    (reference_expander.rb:18-20) pointer-evaluates against an empty
+    definitions map and fails. Byte-matched error."""
+    import pytest
+
+    from json_schema_spark.engine import compile_schema
+    from json_schema_spark.errors import AggregateError
+
+    with pytest.raises(AggregateError) as exc:
+        compile_schema({
+            "definitions": {"node": {"type": ["object"]}},
+            "$ref": "#/definitions/node",
+        })
+    assert 'Couldn\'t resolve pointer "#/definitions/node".' in str(exc.value)

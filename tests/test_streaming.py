@@ -57,3 +57,52 @@ def test_streaming_violations_and_verdicts(spark, docs_path):
     finally:
         viol_q.stop()
         verd_q.stop()
+
+
+def test_streaming_deep_matches_batch(spark, tmp_path):
+    """Deep validation per micro-batch (foreachBatch) over a cyclic schema:
+    stream results equal the batch deep engine's."""
+    import json
+
+    from json_schema_spark.deep import DeepValidator
+    from json_schema_spark.streaming.validate_stream import validate_stream_deep
+
+    schema = {
+        "type": ["object"],
+        "properties": {
+            "v": {"type": ["integer"], "minimum": 0},
+            "next": {"$ref": "#"},
+        },
+    }
+    docs = [
+        {"v": 1},
+        {"v": 1, "next": {"v": 2, "next": {"v": -3}}},   # nested violation
+        {"v": -1},
+        {"v": 0, "next": {"v": 0, "next": {"v": 0, "next": {"v": 4}}}},
+    ]
+    path = str(tmp_path / "stream_docs")
+    rows = [(i, json.dumps(d)) for i, d in enumerate(docs)]
+    static = spark.createDataFrame(rows, "i long, doc string")
+    static.write.parquet(path)
+
+    collected = []
+    stream = spark.readStream.schema(static.schema).parquet(path)
+    q = (validate_stream_deep(spark, stream, schema, "doc", "i",
+                              sink=lambda df, bid: collected.extend(df.collect()))
+         .start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {r["i"]: r for r in collected}
+    batch = DeepValidator(spark, schema).validate(
+        static.withColumn("v", __import__("pyspark.sql.functions", fromlist=["parse_json"]).parse_json("doc")),
+        "v", "i")
+    want = {r["doc_id"]: r for r in batch.collect()}
+    assert set(got) == set(want) == set(range(len(docs)))
+    for i in want:
+        assert got[i]["is_valid"] == want[i]["is_valid"], i
+        assert sorted((e["error_type"], e["path"]) for e in got[i]["violations"]) == \
+               sorted((e["error_type"], e["path"]) for e in want[i]["violations"]), i
+    assert not got[1]["is_valid"] and got[1]["violations"][0]["path"] == "#/next/next/v"
