@@ -434,6 +434,16 @@ def q_lsh_topk(spark, sf_dir):
                       F.round("cosine", 6).alias("cosine_r6"))
 
 
+def q_ivf_topk(spark, sf_dir):
+    """IVF-flat ANN: md5-sampled centroids, exact-integer coarse assignment,
+    nprobe-list probing, exact re-rank — deterministic end-to-end, so the
+    DuckDB oracle reproduces it bit-for-bit."""
+    emb = _t(spark, sf_dir, "embeddings")
+    out = similarity.ivf_topk(emb, k=5, n_centroids=16, nprobe=4)
+    return out.select("query_id", "neighbor_id", "rank",
+                      F.round("cosine", 6).alias("cosine_r6"))
+
+
 def q_minhash_lsh_candidates(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return dedup.minhash_lsh_candidates(d, n=3, num_hashes=8, bands=4)
@@ -531,6 +541,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_pairs": q_jaccard_pairs,
         "knn_cosine": q_knn_cosine,
         "lsh_topk": q_lsh_topk,
+        "ivf_topk": q_ivf_topk,
         "minhash_lsh_candidates": q_minhash_lsh_candidates,
         "simhash": q_simhash,
         "simhash_near_pairs": q_simhash_near_pairs,
@@ -913,6 +924,62 @@ def oracle_sql() -> dict[str, str]:
                          AND a.doc_id < b.doc_id
         """,
         "lsh_topk": _lsh_topk_oracle(),
+        "ivf_topk": """
+            WITH b AS (
+                SELECT vec_id,
+                       list_transform(embedding,
+                           x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+                FROM embeddings
+            ),
+            bn AS (
+                SELECT vec_id, qv, list_sum(list_transform(qv, x -> x * x)) AS nrm,
+                       CAST(concat('0x', substr(md5(concat('ivf_42_',
+                            CAST(vec_id AS VARCHAR))), 1, 15)) AS BIGINT) AS r
+                FROM b
+            ),
+            cen AS (
+                SELECT row_number() OVER (ORDER BY r, vec_id) AS cid,
+                       qv AS cv, nrm AS cn
+                FROM (SELECT * FROM bn ORDER BY r, vec_id LIMIT 16)
+            ),
+            scored AS (
+                SELECT bn.vec_id, cen.cid,
+                       CAST(list_sum(list_transform(range(1, len(bn.qv) + 1),
+                            i -> bn.qv[i] * cen.cv[i])) AS DOUBLE)
+                       / sqrt(CAST(bn.nrm * cen.cn AS DOUBLE)) AS ccos
+                FROM bn CROSS JOIN cen
+            ),
+            ranked AS (
+                SELECT vec_id, cid,
+                       row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY ccos DESC, cid) AS rk
+                FROM scored
+            ),
+            assign AS (SELECT vec_id AS neighbor_id, cid FROM ranked WHERE rk = 1),
+            probes AS (SELECT vec_id AS query_id, cid FROM ranked WHERE rk <= 4),
+            cand AS (
+                SELECT DISTINCT p.query_id, a.neighbor_id
+                FROM probes p JOIN assign a ON p.cid = a.cid
+                WHERE p.query_id <> a.neighbor_id
+            ),
+            rer AS (
+                SELECT c.query_id, c.neighbor_id,
+                       CAST(list_sum(list_transform(range(1, len(qb.qv) + 1),
+                            i -> qb.qv[i] * nb.qv[i])) AS DOUBLE)
+                       / sqrt(CAST(qb.nrm * nb.nrm AS DOUBLE)) AS cosine
+                FROM cand c
+                JOIN bn qb ON qb.vec_id = c.query_id
+                JOIN bn nb ON nb.vec_id = c.neighbor_id
+            ),
+            fin AS (
+                SELECT query_id, neighbor_id, cosine,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY cosine DESC, neighbor_id) AS rank
+                FROM rer
+            )
+            SELECT query_id, neighbor_id, rank, round(cosine, 6) AS cosine_r6
+            FROM fin WHERE rank <= 5
+        """,
         "drift_events": """
             WITH ref AS (SELECT CAST(value AS DOUBLE) AS v FROM events
                          WHERE event_type = 'click' AND value IS NOT NULL),

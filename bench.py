@@ -54,6 +54,7 @@ BENCH_QUERIES = [
     "simhash_near_pairs",
     "knn_cosine",
     "lsh_topk",
+    "ivf_topk",
 ]
 
 
@@ -73,6 +74,12 @@ def build_spark(cpus: int):
         # corpus ~64 even tasks at every parallelism level — the same rule
         # that keeps a 100 TB scan's tasks balanced across 1000 executors.
         .config("spark.sql.files.maxPartitionBytes", "8m")
+        # compiled-schema plans generate huge functions; a lower split
+        # threshold keeps each generated method under the JIT's compilation
+        # limits (oversized methods run INTERPRETED: measured 54 s -> 4.5 s
+        # first pass, and steady-state improves too)
+        .config("spark.sql.codegen.methodSplitThreshold",
+                os.environ.get("SPARK_GRAFT_METHOD_SPLIT", "512"))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")

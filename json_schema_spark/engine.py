@@ -150,6 +150,11 @@ class ValidationEngine:
         # of driver heap; fine with this off). Our validation plans gain
         # nothing from inferred constraints: no joins below the predicates.
         spark.conf.set("spark.sql.constraintPropagation.enabled", "false")
+        # Compiled-schema plans generate huge codegen functions; the default
+        # split threshold (1024) leaves methods too big for the JIT's
+        # compilation limits, so early passes run interpreted (measured:
+        # first+warmup 60+30+9 s vs 26+4 s at 512, same steady-state floor).
+        spark.conf.set("spark.sql.codegen.methodSplitThreshold", "512")
 
     def _compiler(self) -> ColumnarCompiler:
         return ColumnarCompiler(max_unroll_depth=self.max_unroll_depth,

@@ -150,3 +150,83 @@ def lsh_topk(embeddings: DataFrame, k: int = 5, planes: int = 8,
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cosine")
     )
+
+
+def ivf_assignments(embeddings: DataFrame, n_centroids: int = 16,
+                    id_col: str = "vec_id", vec_col: str = "embedding",
+                    q: int = 1000, seed: int = 42):
+    """(centroid table, assignment table) for IVF-flat search.
+
+    Centroids are a deterministic pseudo-random sample: the ``n_centroids``
+    vectors with the smallest md5('ivf_<seed>_' || id) — engine-portable
+    (no kmeans iterations whose float summation order would diverge across
+    engines). Every vector is assigned to its max-cosine centroid with
+    exact integer dot products; ties break on centroid id."""
+    from pyspark.sql import Window
+
+    qv = quantize(F.col(vec_col), q)
+    base = embeddings.select(F.col(id_col), qv.alias("qv")) \
+        .withColumn("nrm", _dot(F.col("qv"), F.col("qv")))
+
+    # top-k by hash, NOT a global row_number over the corpus: orderBy+limit
+    # plans as TakeOrdered (per-partition top-k, tiny driver merge); the
+    # global window then ranks only the n_centroids survivors
+    sample = (base
+              .withColumn("r", F.conv(F.substring(F.md5(
+                  F.concat(F.lit(f"ivf_{seed}_"), F.col(id_col).cast("string"))),
+                  1, 15), 16, 10).cast("bigint"))
+              .orderBy("r", id_col).limit(n_centroids))
+    cen = (sample
+           .withColumn("cid", F.row_number().over(Window.orderBy("r", id_col)))
+           .select("cid", F.col("qv").alias("cv"), F.col("nrm").alias("cn")))
+
+    scored = (base.crossJoin(F.broadcast(cen))
+              .withColumn("ccos",
+                          _dot(F.col("qv"), F.col("cv")).cast("double")
+                          / F.sqrt((F.col("nrm") * F.col("cn")).cast("double"))))
+    assign = (scored.groupBy(id_col)
+              .agg(F.max_by(F.col("cid"),
+                            F.struct(F.col("ccos"), -F.col("cid"))).alias("cid"),
+                   F.first("qv").alias("qv"), F.first("nrm").alias("nrm")))
+    return cen, assign, scored
+
+
+def ivf_topk(embeddings: DataFrame, k: int = 5, n_centroids: int = 16,
+             nprobe: int = 4, id_col: str = "vec_id",
+             vec_col: str = "embedding", q: int = 1000,
+             seed: int = 42) -> DataFrame:
+    """IVF-flat approximate top-k: coarse-quantize the corpus into
+    ``n_centroids`` inverted lists, probe each query's ``nprobe`` nearest
+    lists, exact-rerank the candidates. The scale shape: candidate fan-out
+    is n·(nprobe/n_centroids) of the corpus instead of n² — and fully
+    deterministic (md5 centroid sample + exact integer dot products), so
+    the DuckDB oracle reproduces it bit-for-bit."""
+    from pyspark.sql import Window
+
+    cen, assign, scored = ivf_assignments(embeddings, n_centroids, id_col,
+                                          vec_col, q, seed)
+    assign = assign.persist()
+
+    probe_w = Window.partitionBy(id_col).orderBy(F.col("ccos").desc(), "cid")
+    probes = (scored.withColumn("prank", F.row_number().over(probe_w))
+              .where(F.col("prank") <= nprobe)
+              .select(F.col(id_col).alias("query_id"), "cid"))
+
+    queries = assign.select(F.col(id_col).alias("query_id"),
+                            F.col("qv").alias("Qv"), F.col("nrm").alias("Qn"))
+    members = assign.select(F.col(id_col).alias("neighbor_id"), "cid",
+                            F.col("qv").alias("nv"), F.col("nrm").alias("nn"))
+    n_part = embeddings.sparkSession.sparkContext.defaultParallelism
+    cand = (probes.join(members, "cid")
+            .where(F.col("query_id") != F.col("neighbor_id"))
+            .select("query_id", "neighbor_id", "nv", "nn").distinct()
+            .join(queries, "query_id")
+            .repartition(n_part, F.col("query_id"))
+            .withColumn("cosine",
+                        _dot(F.col("Qv"), F.col("nv")).cast("double")
+                        / F.sqrt((F.col("Qn") * F.col("nn")).cast("double"))))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id"))
+    return (cand.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "rank", "cosine"))
