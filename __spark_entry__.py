@@ -394,6 +394,21 @@ def q_doc_fingerprints(spark, sf_dir):
     return d.select("doc_id", text_ops.fingerprint(F.col("text")).alias("fp"))
 
 
+def q_bpe_token_counts(spark, sf_dir):
+    """GPT-2-style pre-tokenizer counts (RE2-compatible pattern — the same
+    regex literal runs in DuckDB)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id",
+                    text_ops.bpe_token_count(F.col("text")).alias("n_bpe_tokens"))
+
+
+def q_winnow_fingerprints(spark, sf_dir):
+    """Winnowed rolling-hash (Karp-Rabin) fingerprints, the MOSS scheme —
+    exact integer polynomial hashes, bit-identical in DuckDB."""
+    d = _t(spark, sf_dir, "documents")
+    return text_ops.winnow_fingerprints(d, k=8, window=4)
+
+
 def q_exact_dup_clusters(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return dedup.exact_duplicates(d)
@@ -422,6 +437,14 @@ def q_knn_cosine(spark, sf_dir):
     out = similarity.cosine_topk(emb, k=5, queries=queries)
     return out.select("query_id", "neighbor_id", "rank",
                       F.round("cosine", 6).alias("cosine_r6"))
+
+
+def q_embedding_near_dups(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs: LSH-bucketed candidates,
+    exact threshold filter."""
+    emb = _t(spark, sf_dir, "embeddings")
+    out = similarity.embedding_near_dups(emb, threshold=0.9, planes=6)
+    return out.select("id_a", "id_b", F.round("cosine", 6).alias("cosine_r6"))
 
 
 def q_lsh_topk(spark, sf_dir):
@@ -536,12 +559,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_distribution": q_lang_distribution,
         "lang_id": q_lang_id,
         "doc_fingerprints": q_doc_fingerprints,
+        "bpe_token_counts": q_bpe_token_counts,
+        "winnow_fingerprints": q_winnow_fingerprints,
         "exact_dup_clusters": q_exact_dup_clusters,
         "minhash_signatures": q_minhash_signatures,
         "jaccard_pairs": q_jaccard_pairs,
         "knn_cosine": q_knn_cosine,
         "lsh_topk": q_lsh_topk,
         "ivf_topk": q_ivf_topk,
+        "embedding_near_dups": q_embedding_near_dups,
         "minhash_lsh_candidates": q_minhash_lsh_candidates,
         "simhash": q_simhash,
         "simhash_near_pairs": q_simhash_near_pairs,
@@ -650,6 +676,72 @@ def _lsh_topk_oracle(planes: int = 6, seed: int = 42, k: int = 5) -> str:
         )
         SELECT query_id, neighbor_id, rank, round(cosine, 6) AS cosine_r6
         FROM ranked WHERE rank <= {k}
+    """
+
+
+def _lsh_near_dup_oracle(planes: int = 6, seed: int = 42,
+                         threshold: float = 0.9) -> str:
+    """DuckDB replica of similarity.embedding_near_dups (same bucket
+    construction as _lsh_topk_oracle, thresholded pair output)."""
+    sign = ("(CASE WHEN CAST(concat('0x', substr(md5(concat('hp_{seed}_{p}_', i - 1)), 1, 15)) AS BIGINT)"
+            " % 2 = 0 THEN 1 ELSE -1 END)")
+    projs = ",\n                   ".join(
+        "list_sum(list_transform(range(1, len(qv) + 1), i -> qv[i] * "
+        + sign.format(seed=seed, p=p) + f")) AS s{p}"
+        for p in range(planes)
+    )
+    bucket = ", ".join(f"CASE WHEN s{p} >= 0 THEN '1' ELSE '0' END"
+                       for p in range(planes))
+    return f"""
+        WITH v AS (
+            SELECT vec_id,
+                   list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+            FROM embeddings
+        ),
+        proj AS (SELECT vec_id, qv, {projs} FROM v),
+        buck AS (SELECT vec_id, qv, concat({bucket}) AS bucket FROM proj),
+        pairs AS (
+            SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
+                   CAST(list_sum(list_transform(range(1, len(a.qv) + 1),
+                        i -> a.qv[i] * b.qv[i])) AS DOUBLE)
+                   / sqrt(CAST(list_sum(list_transform(a.qv, x -> x * x))
+                          * list_sum(list_transform(b.qv, x -> x * x)) AS DOUBLE)) AS cosine
+            FROM buck a JOIN buck b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        )
+        SELECT id_a, id_b, round(cosine, 6) AS cosine_r6
+        FROM pairs WHERE cosine >= {threshold}
+    """
+
+
+def _winnow_oracle(k: int = 8, window: int = 4) -> str:
+    """DuckDB replica of text.winnow_fingerprints: identical polynomial
+    coefficients (257^(k-1-j) mod 2^31-1), identical window min/tie rule."""
+    p = 2_147_483_647
+    coeffs = [pow(257, k - 1 - j, p) for j in range(k)]
+    terms = " + ".join(
+        f"ascii(substr(s, i + {j}, 1)) * CAST({c} AS BIGINT)"
+        for j, c in enumerate(coeffs))
+    return f"""
+        WITH norm AS (
+            SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS s
+            FROM documents
+        ),
+        grams AS (
+            SELECT doc_id, i AS pos, ({terms}) % {p} AS h
+            FROM norm, LATERAL (SELECT unnest(generate_series(1, len(s) - {k} + 1)) AS i) ii
+            WHERE len(s) >= {k}
+        ),
+        win AS (
+            SELECT doc_id,
+                   min(struct_pack(h := h, pos := pos)) OVER
+                       (PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN CURRENT ROW AND {window - 1} FOLLOWING) AS m,
+                   count(*) OVER
+                       (PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN CURRENT ROW AND {window - 1} FOLLOWING) AS wn
+            FROM grams
+        )
+        SELECT DISTINCT doc_id, m.h AS fp, m.pos AS pos FROM win WHERE wn = {window}
     """
 
 
@@ -924,6 +1016,14 @@ def oracle_sql() -> dict[str, str]:
                          AND a.doc_id < b.doc_id
         """,
         "lsh_topk": _lsh_topk_oracle(),
+        "embedding_near_dups": _lsh_near_dup_oracle(),
+        "winnow_fingerprints": _winnow_oracle(),
+        "bpe_token_counts": (
+            # same RE2-compatible pattern literal; only SQL-quote escaping
+            "SELECT doc_id, len(regexp_extract_all(text, '"
+            + text_ops.BPE_SPLIT_PATTERN.replace("'", "''")
+            + "')) AS n_bpe_tokens FROM documents"
+        ),
         "ivf_topk": """
             WITH b AS (
                 SELECT vec_id,

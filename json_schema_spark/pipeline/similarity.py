@@ -230,3 +230,31 @@ def ivf_topk(embeddings: DataFrame, k: int = 5, n_centroids: int = 16,
     return (cand.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k)
             .select("query_id", "neighbor_id", "rank", "cosine"))
+
+
+def embedding_near_dups(embeddings: DataFrame, threshold: float = 0.95,
+                        planes: int = 8, id_col: str = "vec_id",
+                        vec_col: str = "embedding", q: int = 1000,
+                        seed: int = 42) -> DataFrame:
+    """(id_a, id_b, cosine) embedding near-duplicate pairs: LSH-bucketed
+    candidates exact-filtered at ``threshold``. High-cosine pairs land in
+    the same hyperplane bucket with high probability (a plane separates a
+    pair with probability arccos(cos)/π — ~7% per plane at 0.95), so the
+    pair join fans out per bucket, never per corpus."""
+    b = (hyperplane_buckets(embeddings, planes, id_col, vec_col, seed, q)
+         .withColumn("_qv", quantize(F.col(vec_col), q))
+         .withColumn("_nrm", _dot(F.col("_qv"), F.col("_qv")))
+         .persist())
+    left = b.select(F.col(id_col).alias("id_a"), "bucket",
+                    F.col("_qv").alias("av"), F.col("_nrm").alias("an"))
+    right = b.select(F.col(id_col).alias("id_b"), "bucket",
+                     F.col("_qv").alias("bv"), F.col("_nrm").alias("bn"))
+    n_part = embeddings.sparkSession.sparkContext.defaultParallelism
+    return (left.join(right, "bucket")
+            .where(F.col("id_a") < F.col("id_b"))
+            .repartition(n_part, F.col("id_a"))
+            .withColumn("cosine",
+                        _dot(F.col("av"), F.col("bv")).cast("double")
+                        / F.sqrt((F.col("an") * F.col("bn")).cast("double")))
+            .where(F.col("cosine") >= threshold)
+            .select("id_a", "id_b", "cosine").distinct())

@@ -93,3 +93,79 @@ def fingerprint(col: Column) -> Column:
     (md5 is identical across engines — usable as a portable dedup key.)"""
     normalized = F.regexp_replace(F.lower(F.trim(col)), r"\s+", " ")
     return F.md5(normalized)
+
+
+# GPT-2-style pre-tokenizer pattern, RE2-compatible (no lookahead, so the
+# same pattern runs verbatim in DuckDB/RE2 and Java regex): contraction
+# suffixes, space-prefixed letter runs, digit runs, punctuation runs,
+# whitespace runs.
+BPE_SPLIT_PATTERN = r"'(?:[sdmt]|ll|ve|re)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+
+
+def bpe_tokens(col: Column) -> Column:
+    """BPE-ish pre-tokenization (the merge step of real BPE needs a learned
+    vocab; the split is what token-count estimation needs)."""
+    return F.regexp_extract_all(col, F.lit(BPE_SPLIT_PATTERN), F.lit(0))
+
+
+def bpe_token_count(col: Column) -> Column:
+    return F.size(bpe_tokens(col))
+
+
+_KR_P = 2_147_483_647  # 2^31 - 1
+_KR_B = 257
+
+
+def winnow_fingerprints(df: DataFrame, k: int = 8, window: int = 4,
+                        text_col: str = "text",
+                        id_col: str = "doc_id") -> DataFrame:
+    """(id, fp, pos) winnowed rolling-hash fingerprints (the MOSS scheme):
+    Karp-Rabin hashes over character ``k``-grams of normalized text, then
+    per sliding window of ``window`` hashes keep the minimum (ties -> the
+    earliest position), emitting the distinct selected set.
+
+    Guarantees: any shared substring of length >= k + window - 1 between
+    two documents yields at least one shared fingerprint. The polynomial
+    coefficients are precomputed constants mod 2^31-1, so every hash is
+    exact integer math — bit-identical in any engine (DuckDB oracle).
+
+    Scale shape: one explode (bounded by text length), one window over
+    (doc, pos) — partitioned per doc, no cross-doc shuffle beyond the
+    repartition implicit in the window."""
+    from pyspark.sql import Window
+    from .dedup import rebalance_by_id
+
+    coeffs = [pow(_KR_B, k - 1 - j, _KR_P) for j in range(k)]
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+
+    def gram_hash(i):
+        # Σ codepoint(char_{i+j}) · B^{k-1-j} mod P; products stay < 2^52
+        terms = None
+        s = F.col("__norm")
+        for j, c in enumerate(coeffs):
+            t = F.ascii(s.substr(i + F.lit(j), F.lit(1))).cast("bigint") * F.lit(c)
+            terms = t if terms is None else terms + t
+        return F.pmod(terms, F.lit(_KR_P))
+
+    n = F.length(F.col("__norm"))
+    hashes = F.when(
+        n >= k,
+        F.transform(F.sequence(F.lit(1), n - k + 1),
+                    lambda i: F.struct(i.alias("pos"),
+                                       gram_hash(i).alias("h"))),
+    ).otherwise(F.expr("array()").cast("array<struct<pos:int,h:bigint>>"))
+
+    rows = (rebalance_by_id(df, id_col)
+            .withColumn("__norm", norm)
+            .select(F.col(id_col), F.explode(hashes).alias("g"))
+            .select(id_col, F.col("g.pos").alias("pos"), F.col("g.h").alias("h")))
+
+    w = (Window.partitionBy(id_col).orderBy("pos")
+         .rowsBetween(Window.currentRow, window - 1))
+    sel = (rows
+           .withColumn("m", F.min(F.struct(F.col("h"), F.col("pos"))).over(w))
+           .withColumn("wn", F.count(F.lit(1)).over(w))
+           .where(F.col("wn") == window)
+           .select(id_col, F.col("m.h").alias("fp"), F.col("m.pos").alias("pos"))
+           .distinct())
+    return sel
