@@ -462,7 +462,9 @@ def q_ivf_topk(spark, sf_dir):
     nprobe-list probing, exact re-rank — deterministic end-to-end, so the
     DuckDB oracle reproduces it bit-for-bit."""
     emb = _t(spark, sf_dir, "embeddings")
-    out = similarity.ivf_topk(emb, k=5, n_centroids=16, nprobe=4)
+    # C ~ sqrt(n), nprobe/C = 1/16 of the corpus per query: candidate
+    # volume n²·(nprobe/C) stays ~6% of brute force
+    out = similarity.ivf_topk(emb, k=5, n_centroids=64, nprobe=4)
     return out.select("query_id", "neighbor_id", "rank",
                       F.round("cosine", 6).alias("cosine_r6"))
 
@@ -1040,7 +1042,7 @@ def oracle_sql() -> dict[str, str]:
             cen AS (
                 SELECT row_number() OVER (ORDER BY r, vec_id) AS cid,
                        qv AS cv, nrm AS cn
-                FROM (SELECT * FROM bn ORDER BY r, vec_id LIMIT 16)
+                FROM (SELECT * FROM bn ORDER BY r, vec_id LIMIT 64)
             ),
             scored AS (
                 SELECT bn.vec_id, cen.cid,

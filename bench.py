@@ -52,9 +52,11 @@ BENCH_QUERIES = [
     "minhash_signatures",
     "jaccard_pairs",
     "simhash_near_pairs",
+    "winnow_fingerprints",
     "knn_cosine",
     "lsh_topk",
     "ivf_topk",
+    "embedding_near_dups",
 ]
 
 
@@ -228,13 +230,14 @@ def scaling_measurement(hi_result: dict = None) -> dict:
         return json.loads(proc.stdout.strip().splitlines()[-1])
 
     # co-tenant CPU steal on this host varies over minutes, so a sequential
-    # lo-then-hi sample compares DIFFERENT host conditions. Interleave two
-    # fresh JVMs per level (lo, hi, lo, hi) and take min-of-all-passes per
+    # lo-then-hi sample compares DIFFERENT host conditions. Interleave fresh
+    # JVMs per level (lo, hi, lo, hi, ...) and take min-of-all-passes per
     # level: both levels get a shot at a clean window from the same period.
+    n_rounds = int(os.environ.get("SPARK_GRAFT_SCALE_ROUNDS", "3"))
     out = {"rounds": []}
     passes = {lo_cpus: [], hi_cpus: []}
     docs = None
-    for _ in range(2):
+    for _ in range(n_rounds):
         for cpus in (lo_cpus, hi_cpus):
             r = run_level(cpus)
             out["rounds"].append({"cpus": cpus, **r})
@@ -257,7 +260,9 @@ def scaling_measurement(hi_result: dict = None) -> dict:
     return out
 
 
-BUDGET_S = int(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "480"))
+# scaling evidence is the north_rule's hard criterion — only skip it when
+# the query/validation phase ran pathologically long
+BUDGET_S = int(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "900"))
 
 
 def main() -> None:

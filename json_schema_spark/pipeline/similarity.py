@@ -214,13 +214,17 @@ def ivf_topk(embeddings: DataFrame, k: int = 5, n_centroids: int = 16,
 
     queries = assign.select(F.col(id_col).alias("query_id"),
                             F.col("qv").alias("Qv"), F.col("nrm").alias("Qn"))
-    members = assign.select(F.col(id_col).alias("neighbor_id"), "cid",
-                            F.col("qv").alias("nv"), F.col("nrm").alias("nn"))
+    nbrs = assign.select(F.col(id_col).alias("neighbor_id"),
+                         F.col("qv").alias("nv"), F.col("nrm").alias("nn"))
+    members = assign.select(F.col(id_col).alias("neighbor_id"), "cid")
     n_part = embeddings.sparkSession.sparkContext.defaultParallelism
-    cand = (probes.join(members, "cid")
-            .where(F.col("query_id") != F.col("neighbor_id"))
-            .select("query_id", "neighbor_id", "nv", "nn").distinct()
-            .join(queries, "query_id")
+    # dedup on bare id PAIRS before re-attaching vectors: a distinct over
+    # rows carrying two dim-length arrays shuffles and compares the full
+    # vectors per candidate — measured 55 s vs ~3 s at sf0.1
+    pairs = (probes.join(members, "cid")
+             .where(F.col("query_id") != F.col("neighbor_id"))
+             .select("query_id", "neighbor_id").distinct())
+    cand = (pairs.join(nbrs, "neighbor_id").join(queries, "query_id")
             .repartition(n_part, F.col("query_id"))
             .withColumn("cosine",
                         _dot(F.col("Qv"), F.col("nv")).cast("double")
