@@ -135,3 +135,71 @@ def frame_sample_plan(media: DataFrame, fps: float = 1.0,
         .select("media_ref", "frame_idx",
                 (F.col("frame_idx") * F.lit(int(1000 / fps))).alias("timestamp_ms"))
     )
+
+
+RESIZED_SCHEMA = T.StructType([
+    T.StructField("media_ref", T.StringType(), False),
+    T.StructField("mime", T.StringType(), True),
+    T.StructField("src_width", T.IntegerType(), True),
+    T.StructField("src_height", T.IntegerType(), True),
+    T.StructField("width", T.IntegerType(), True),
+    T.StructField("height", T.IntegerType(), True),
+    T.StructField("payload", T.BinaryType(), True),
+])
+
+
+def _resize_stub(payload: bytes, mime: str, width: int, height: int) -> bytes:
+    """STUB (no codecs in the sandbox image): deterministic fake resized
+    bytes sized proportionally to the target pixel count. A real
+    implementation replaces this one function with Pillow's
+    Image.resize((width, height)) on the executors."""
+    if payload is None:
+        return None
+    digest = hashlib.sha256(payload + f"|{width}x{height}".encode()).digest()
+    n = max(32, (width * height) // 8)
+    return (digest * (n // len(digest) + 1))[:n]
+
+
+def resize_images(media_with_payloads: DataFrame, max_side: int = 32,
+                  target_batch_mb: int = 64,
+                  avg_payload_bytes: int = 4096) -> DataFrame:
+    """Aspect-ratio-preserving image resize via ``mapInPandas``: the longer
+    side clamps to ``max_side``, the shorter scales proportionally (floor,
+    min 1). The geometry math, schema contract, Arrow batch shape, and
+    image-only filtering are real; the pixel transform is the declared
+    codec stub (_resize_stub)."""
+    rows_per_batch = max(1, (target_batch_mb * 1024 * 1024) // max(1, avg_payload_bytes))
+    spark = media_with_payloads.sparkSession
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch",
+                   str(rows_per_batch))
+    imgs = media_with_payloads.where(F.col("mime").startswith("image/"))
+
+    def resize_batches(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            src_w, src_h, out_w, out_h, out_p = [], [], [], [], []
+            for payload, mime in zip(pdf["payload"], pdf["mime"]):
+                w, h, _ = _decode_stub(payload, mime)
+                if w >= h:
+                    tw = min(w, max_side)
+                    th = max(1, (h * tw) // w)
+                else:
+                    th = min(h, max_side)
+                    tw = max(1, (w * th) // h)
+                src_w.append(w)
+                src_h.append(h)
+                out_w.append(tw)
+                out_h.append(th)
+                out_p.append(_resize_stub(payload, mime, tw, th))
+            yield pd.DataFrame({
+                "media_ref": pdf["media_ref"],
+                "mime": pdf["mime"],
+                "src_width": src_w,
+                "src_height": src_h,
+                "width": out_w,
+                "height": out_h,
+                "payload": out_p,
+            })
+
+    return imgs.mapInPandas(resize_batches, RESIZED_SCHEMA)

@@ -61,3 +61,26 @@ def test_frame_sample_plan(spark, media):
             per_ref.setdefault(r["media_ref"], []).append(r["frame_idx"])
         for idxs in per_ref.values():
             assert sorted(idxs) == list(range(len(idxs)))
+
+
+def test_resize_images(spark, media):
+    from json_schema_spark.pipeline.media import resize_images
+
+    payloads = synthesize_media_payloads(media)
+    out = resize_images(payloads, max_side=32).cache()
+    rows = out.collect()
+    n_images = payloads.where(F.col("mime").startswith("image/")).count()
+    assert len(rows) == n_images > 0
+    for r in rows:
+        # aspect-ratio-preserving clamp: longer side == min(src, 32)
+        assert max(r["width"], r["height"]) == min(max(r["src_width"], r["src_height"]), 32)
+        assert r["width"] >= 1 and r["height"] >= 1
+        # longer side stays the longer side
+        assert (r["src_width"] >= r["src_height"]) == (r["width"] >= r["height"])
+        assert r["payload"] is not None and len(r["payload"]) >= 32
+
+    # deterministic under repartition (no partition-dependent state)
+    again = resize_images(payloads.repartition(3), max_side=32)
+    a = out.select("media_ref", F.md5("payload").alias("h"))
+    b = again.select("media_ref", F.md5("payload").alias("h"))
+    assert a.exceptAll(b).count() == 0
