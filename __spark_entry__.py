@@ -410,8 +410,16 @@ def q_winnow_fingerprints(spark, sf_dir):
 
 
 def q_exact_dup_clusters(spark, sf_dir):
+    """Exact-dup clusters over documents + deterministically planted
+    duplicates (docs with doc_id % 100 == 7 re-inserted under id+10M): the
+    sf0.01 corpus has no natural exact dups, so without planting the oracle
+    comparison is vacuously green on an empty result (round-2 VERDICT
+    "What's wrong" #4). The plant is a pure deterministic expression
+    mirrored in the DuckDB oracle."""
     d = _t(spark, sf_dir, "documents")
-    return dedup.exact_duplicates(d)
+    planted = (d.where(F.col("doc_id") % 100 == 7)
+               .withColumn("doc_id", F.col("doc_id") + F.lit(10_000_000)))
+    return dedup.exact_duplicates(d.unionByName(planted))
 
 
 def q_minhash_signatures(spark, sf_dir):
@@ -440,10 +448,27 @@ def q_knn_cosine(spark, sf_dir):
 
 
 def q_embedding_near_dups(spark, sf_dir):
-    """Embedding-cosine near-duplicate pairs: LSH-bucketed candidates,
-    exact threshold filter."""
+    """Embedding-cosine near-duplicate pairs: OR-amplified multi-band
+    hyperplane LSH candidates (8 bands × 6 planes — recall ≈98% at cosine
+    0.9 vs ~40% for round 2's single band), exact threshold filter.
+
+    The corpus is augmented with deterministically planted near-dups (vecs
+    with vec_id % 100 == 3 re-inserted under id+1M with the first
+    coordinate shifted by 2^-6 — exact in IEEE, so both engines see
+    bit-identical floats): sf0.01 has no natural pair above cosine 0.52,
+    so without planting the oracle is vacuously green on empty output."""
     emb = _t(spark, sf_dir, "embeddings")
-    out = similarity.embedding_near_dups(emb, threshold=0.9, planes=6)
+    e = F.col("embedding")
+    planted = emb.where(F.col("vec_id") % 100 == 3).select(
+        (F.col("vec_id") + F.lit(1_000_000)).alias("vec_id"),
+        F.concat(
+            F.array((F.element_at(e, 1).cast("double")
+                     + F.lit(0.015625)).cast("float")),
+            F.slice(e, 2, F.size(e) - 1),
+        ).alias("embedding"))
+    corpus = emb.select("vec_id", "embedding").unionByName(planted)
+    out = similarity.embedding_near_dups(corpus, threshold=0.9,
+                                         bands=8, planes_per_band=6)
     return out.select("id_a", "id_b", F.round("cosine", 6).alias("cosine_r6"))
 
 
@@ -621,7 +646,7 @@ bitsum AS (
 ),
 sig AS (
     SELECT doc_id,
-           sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END) AS simhash
+           CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS simhash
     FROM bitsum GROUP BY doc_id
 )
 """
@@ -681,34 +706,64 @@ def _lsh_topk_oracle(planes: int = 6, seed: int = 42, k: int = 5) -> str:
     """
 
 
-def _lsh_near_dup_oracle(planes: int = 6, seed: int = 42,
-                         threshold: float = 0.9) -> str:
-    """DuckDB replica of similarity.embedding_near_dups (same bucket
-    construction as _lsh_topk_oracle, thresholded pair output)."""
+def _lsh_near_dup_oracle(bands: int = 8, planes_per_band: int = 6,
+                         seed: int = 42, threshold: float = 0.9) -> str:
+    """DuckDB replica of similarity.embedding_near_dups: OR-amplified
+    multi-band hyperplane LSH (band b = global plane indices [b·r,(b+1)·r),
+    identical md5 sign derivation) over the corpus + the entry's planted
+    near-dups, thresholded exact-cosine pair output."""
     sign = ("(CASE WHEN CAST(concat('0x', substr(md5(concat('hp_{seed}_{p}_', i - 1)), 1, 15)) AS BIGINT)"
             " % 2 = 0 THEN 1 ELSE -1 END)")
     projs = ",\n                   ".join(
         "list_sum(list_transform(range(1, len(qv) + 1), i -> qv[i] * "
         + sign.format(seed=seed, p=p) + f")) AS s{p}"
-        for p in range(planes)
+        for p in range(bands * planes_per_band)
     )
-    bucket = ", ".join(f"CASE WHEN s{p} >= 0 THEN '1' ELSE '0' END"
-                       for p in range(planes))
+    band_rows = ",\n                ".join(
+        "({b}, concat({bits}))".format(
+            b=b,
+            bits=", ".join(
+                f"CASE WHEN s{b * planes_per_band + r} >= 0 THEN '1' ELSE '0' END"
+                for r in range(planes_per_band)))
+        for b in range(bands)
+    )
     return f"""
-        WITH v AS (
+        WITH emb2 AS (
+            SELECT vec_id, embedding FROM embeddings
+            UNION ALL
+            SELECT vec_id + 1000000,
+                   list_concat(
+                       [CAST(CAST(embedding[1] AS DOUBLE) + 0.015625 AS FLOAT)],
+                       embedding[2:]) AS embedding
+            FROM embeddings WHERE vec_id % 100 = 3
+        ),
+        v AS (
             SELECT vec_id,
                    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
-            FROM embeddings
+            FROM emb2
         ),
         proj AS (SELECT vec_id, qv, {projs} FROM v),
-        buck AS (SELECT vec_id, qv, concat({bucket}) AS bucket FROM proj),
+        banded AS (
+            SELECT p.vec_id, p.qv, bb.band, bb.bucket
+            FROM proj p, LATERAL (
+                SELECT * FROM (VALUES
+                {band_rows}) AS t(band, bucket)
+            ) bb
+        ),
+        cand AS (
+            SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+            FROM banded a JOIN banded b
+              ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+        ),
         pairs AS (
-            SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
-                   CAST(list_sum(list_transform(range(1, len(a.qv) + 1),
-                        i -> a.qv[i] * b.qv[i])) AS DOUBLE)
-                   / sqrt(CAST(list_sum(list_transform(a.qv, x -> x * x))
-                          * list_sum(list_transform(b.qv, x -> x * x)) AS DOUBLE)) AS cosine
-            FROM buck a JOIN buck b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+            SELECT c.id_a, c.id_b,
+                   CAST(list_sum(list_transform(range(1, len(va.qv) + 1),
+                        i -> va.qv[i] * vb.qv[i])) AS DOUBLE)
+                   / sqrt(CAST(list_sum(list_transform(va.qv, x -> x * x))
+                          * list_sum(list_transform(vb.qv, x -> x * x)) AS DOUBLE)) AS cosine
+            FROM cand c
+            JOIN v va ON va.vec_id = c.id_a
+            JOIN v vb ON vb.vec_id = c.id_b
         )
         SELECT id_a, id_b, round(cosine, 6) AS cosine_r6
         FROM pairs WHERE cosine >= {threshold}
@@ -804,14 +859,14 @@ def oracle_sql() -> dict[str, str]:
         """,
         "lineitem_stats": """
             SELECT 'l_quantity' AS "column", count(*) AS count,
-                   sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS nulls,
+                   CAST(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls,
                    round(CAST(sum(CAST(l_quantity AS DECIMAL(38,12))) AS DOUBLE)
                          / count(l_quantity), 6) AS mean_r6,
                    min(l_quantity) AS min_v, max(l_quantity) AS max_v
             FROM lineitem
             UNION ALL
             SELECT 'l_extendedprice', count(*),
-                   sum(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END),
+                   CAST(sum(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END) AS BIGINT),
                    round(CAST(sum(CAST(l_extendedprice AS DECIMAL(38,12))) AS DOUBLE)
                          / count(l_extendedprice), 6),
                    min(l_extendedprice), max(l_extendedprice)
@@ -875,7 +930,7 @@ def oracle_sql() -> dict[str, str]:
                 FROM events
             )
             SELECT user_id, count(*) AS n_events,
-                   sum(CASE WHEN gap IS NULL OR gap > 3600000000 THEN 1 ELSE 0 END) AS n_sessions
+                   CAST(sum(CASE WHEN gap IS NULL OR gap > 3600000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions
             FROM g GROUP BY user_id
         """,
         "event_windows": """
@@ -921,9 +976,15 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "exact_dup_clusters": """
+            WITH docs2 AS (
+                SELECT doc_id, text FROM documents
+                UNION ALL
+                SELECT doc_id + 10000000, text FROM documents
+                WHERE doc_id % 100 = 7
+            )
             SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,
                    count(*) AS n_docs, min(doc_id) AS keep_id
-            FROM documents GROUP BY 1 HAVING count(*) > 1
+            FROM docs2 GROUP BY 1 HAVING count(*) > 1
         """,
         "minhash_signatures": f"""
             WITH {_SHINGLES_CTE},

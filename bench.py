@@ -163,6 +163,10 @@ def run_queries(spark) -> dict:
         # noop sink forces full column evaluation (count() would prune)
         qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.time() - t0, 3)
+        # pipeline ops persist multi-consumer intermediates (shingles,
+        # signatures, bucket tables) scoped to one query run; drop them so
+        # cached blocks don't accumulate across the session (ADVICE r2)
+        spark.catalog.clearCache()
     return timings
 
 
@@ -297,7 +301,7 @@ def main() -> None:
                 scaling = {"error": str(exc)[:200]}
 
     total = round(sum(queries.values()) + validation["seconds"], 3)
-    print(json.dumps({
+    result = {
         "metric": f"headline queries + typed validation (validated docs/sec); scaling efficiency local[{SCALE_LO}]->local[{SCALE_HI}] (N vs 4N cores, interleaved min-of-passes, host-calibrated)",
         "value": total,
         "unit": "sec",
@@ -305,7 +309,26 @@ def main() -> None:
         "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
         "validation": validation,
         "scaling": scaling,
-    }))
+    }
+    # the driver captures only a bounded TAIL of stdout — round 2's JSON
+    # line outgrew it (BENCH_r02 parsed:null). Persist the FULL result to a
+    # file, and print a COMPACT line (per-round scaling detail elided) last
+    # so the tail window always holds one complete parseable JSON object.
+    try:
+        os.makedirs(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                 "BENCH"), exist_ok=True)
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH", "last_run.json"), "w") as fh:
+            fh.write(json.dumps(result) + "\n")
+    except OSError:
+        pass
+    compact = dict(result)
+    if isinstance(scaling, dict) and "rounds" in scaling:
+        compact["scaling"] = {k: v for k, v in scaling.items() if k != "rounds"}
+        compact["scaling"]["rounds"] = "see BENCH/last_run.json"
+    compact["validation"] = {k: v for k, v in validation.items()
+                             if k != "pass_seconds"}
+    print(json.dumps(compact))
 
 
 if __name__ == "__main__":

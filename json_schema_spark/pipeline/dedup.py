@@ -80,13 +80,23 @@ def rebalance_by_id(df: DataFrame, id_col: str, enabled: bool = True) -> DataFra
 
 def shingles(df: DataFrame, n: int = 3, text_col: str = "text",
              id_col: str = "doc_id", rebalance: bool = True) -> DataFrame:
-    """Distinct word n-gram shingles per document: (id, shingle)."""
+    """Distinct word n-gram shingles per document: (id, shingle).
+
+    Documents with fewer than ``n`` tokens produce NO shingles (and thus no
+    signature / no pair rows downstream) — the same semantics as the DuckDB
+    oracles' ``generate_series(1, len - n + 1)``, which is empty for short
+    docs. Without the guard, ``sequence(0, size - n)`` on a short doc counts
+    DOWN into negatives and ``slice(toks, 0, n)`` aborts the whole job with
+    INVALID_PARAMETER_VALUE.START (Spark 4.1.2)."""
     df = rebalance_by_id(df, id_col, rebalance)
     toks = tokens(F.col(text_col))
-    grams = F.transform(
-        F.sequence(F.lit(0), F.size(toks) - n),
-        lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
-    )
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
     return (
         df.select(F.col(id_col), F.explode(F.array_distinct(grams)).alias("shingle"))
     )

@@ -49,12 +49,29 @@ def duck_rows(con, sql):
 ORACLED = sorted(entry_mod.oracle_sql().keys())
 
 
+def pandas_dtypes(duck_con, sql, spark_df):
+    """dtype-KIND comparison (int vs float vs object): round 2's three red
+    driver rows were bit-identical VALUES whose DuckDB sum() came back
+    HUGEINT→float64/decimal-object vs Spark int64 — a kind-level mismatch
+    the value-only pytest couldn't see. Width differences (int32 vs int64)
+    are NOT flagged: the driver's canonical form doesn't distinguish them
+    (int32 and int64 rows were green in CORRECTNESS_r02)."""
+    ddf = duck_con.execute(sql).df()
+    sdf = spark_df.toPandas()
+    kind = lambda t: {"i": "int", "u": "int", "f": "float"}.get(t.kind, t.kind)
+    d = {c: kind(t) for c, t in ddf.dtypes.items()}
+    s = {c: kind(t) for c, t in sdf.dtypes.items()}
+    return d, s
+
+
 @pytest.mark.parametrize("name", ORACLED)
 def test_query_matches_oracle(spark, duck, name):
     q = entry_mod.queries()[name]
     df = q(spark, SF_DIR)
     expected, oracle_cols = duck_rows(duck, entry_mod.oracle_sql()[name])
     assert sorted(df.columns) == oracle_cols, f"column mismatch: {sorted(df.columns)} vs {oracle_cols}"
+    ddt, sdt = pandas_dtypes(duck, entry_mod.oracle_sql()[name], df)
+    assert ddt == sdt, f"pandas dtype mismatch (driver hash carries dtype): duckdb={ddt} spark={sdt}"
     actual = spark_rows(df)
     assert len(actual) == len(expected), f"row count {len(actual)} != {len(expected)}"
     mism = [i for i, (a, e) in enumerate(zip(actual, expected)) if a != e]
