@@ -716,43 +716,46 @@ class ColumnarCompiler:
         allow_udf = not value.in_lambda
 
         def lambda_cb(udf_base: str):
-            # hoist the UDF over the whole enclosing collection: compute
-            # <udf>_arr(transform(collection, (x, i) -> string_expr)) as a
-            # pre-projected column, index it back in via the lambda's index
-            # var. One level deep the collection is lambda-free; two levels
-            # deep the inner collections are flattened with offset
-            # bookkeeping. Three or more: documented completeness gap.
+            # Hoist the UDF across EVERY enclosing lambda level: rebuild
+            # the nesting as transforms producing a depth-N nested
+            # array<...<string>> column (inner collections coalesced to
+            # array() so a null inner level — outer element not an
+            # array/object — contributes an empty slot rather than
+            # nulling flatten), feed it to the matching depth-N _arrN UDF
+            # pre-projected OUTSIDE the lambdas, and index the boolean back
+            # in with one element_at per level. No offset arithmetic, so
+            # any depth works; bounded only by how many _arrN UDF variants
+            # are registered (MAX_LAMBDA_HOIST_DEPTH=6 — beyond that the
+            # check is vacuously true, a documented gap no real schema
+            # hits). Round 2 supported two levels via flatten + offset
+            # bookkeeping; the nested form subsumes it.
+            from .formats import MAX_LAMBDA_HOIST_DEPTH
+
             if value.lam_ctx is None:
                 return None
-            coll, ev, iv, parent = value.lam_ctx
-            if parent is None:
-                name = self._fresh("__jss_fmt")
-                self.preprojections.append(
-                    (name,
-                     f"{udf_base}_arr({fn('transform', coll, f'({ev}, {iv}) -> {value.as_string()}')})"))
-                return f"element_at({name}, {iv} + 1)"
-            pcoll, pev, piv, grand = parent
-            if grand is not None:
+            chain = []  # innermost lambda level first
+            ctx = value.lam_ctx
+            while ctx is not None:
+                coll, ev, iv, parent = ctx
+                chain.append((coll, ev, iv))
+                ctx = parent
+            depth = len(chain)
+            if depth > MAX_LAMBDA_HOIST_DEPTH:
                 return None
-            # flatten-hoist: one flat UDF pass over every leaf, plus a sizes
-            # array so each (outer, inner) index maps to its flat offset.
-            # Null inner collections (outer element not an array/object)
-            # contribute zero leaves — coalesce keeps flatten() non-null.
-            inner = fn("transform", fn("coalesce", coll, "array()"),
-                       f"({ev}, {iv}) -> {value.as_string()}")
-            flat = self._fresh("__jss_fmt")
-            self.preprojections.append(
-                (flat,
-                 f"{udf_base}_arr(flatten({fn('transform', pcoll, f'({pev}, {piv}) -> {inner}')}))"))
-            sizes = self._fresh("__jss_fmtsz")
-            self.preprojections.append(
-                (sizes,
-                 fn("transform", pcoll,
-                    f"({pev}, {piv}) -> coalesce(size({coll}), 0)")))
-            acc, s = self._fresh("acc"), self._fresh("s")
-            offset = (f"aggregate(slice({sizes}, 1, {piv}), 0, "
-                      f"({acc}, {s}) -> {acc} + {s})")
-            return f"element_at({flat}, {offset} + {iv} + 1)"
+            expr = value.as_string()
+            for level, (coll, ev, iv) in enumerate(chain):
+                # outermost collection (last in chain) is lambda-free and
+                # left uncoalesced: if IT is null the enclosing lambda never
+                # evaluates, so the hoisted column is never indexed
+                c = coll if level == depth - 1 else fn("coalesce", coll, "array()")
+                expr = fn("transform", c, f"({ev}, {iv}) -> {expr}")
+            suffix = "_arr" if depth == 1 else f"_arr{depth}"
+            name = self._fresh("__jss_fmt")
+            self.preprojections.append((name, f"{udf_base}{suffix}({expr})"))
+            rep = name
+            for coll, ev, iv in reversed(chain):
+                rep = f"element_at({rep}, {iv} + 1)"
+            return rep
 
         check = format_check_sql(schema.format, value.as_string(),
                                  allow_udf=allow_udf, lambda_udf_cb=lambda_cb)

@@ -118,6 +118,60 @@ def _wrap_predicate_udf_arr(predicate):
     return fn
 
 
+# Deepest lambda nesting the compiler will hoist a format UDF across: the
+# hoisted column is a depth-N nested array (one transform per lambda level)
+# fed to the matching _arrN UDF and indexed back with chained element_at —
+# no offset arithmetic, so the depth is bounded only by how many UDF
+# variants are registered. 6 levels of items-under-items is far past any
+# real schema; beyond it the check is vacuously true (documented).
+MAX_LAMBDA_HOIST_DEPTH = 6
+
+
+def _nested_bool_type(depth: int):
+    t: T.DataType = T.BooleanType()
+    for _ in range(depth):
+        t = T.ArrayType(t)
+    return t
+
+
+def _apply_nested(arr, depth, check_one):
+    if arr is None:
+        return None
+    if depth == 0:
+        return check_one(arr)
+    return [_apply_nested(x, depth - 1, check_one) for x in arr]
+
+
+def _regex_compiles_nested(depth: int):
+    @F.pandas_udf(_nested_bool_type(depth))
+    def fn(s):
+        import re
+
+        def check(x):
+            if x is None:
+                return None
+            try:
+                re.compile(x)
+                return True
+            except re.error:
+                return False
+
+        return s.map(lambda arr: _apply_nested(arr, depth, check))
+
+    return fn
+
+
+def _wrap_predicate_udf_nested(predicate, depth: int):
+    @F.pandas_udf(_nested_bool_type(depth))
+    def fn(s):
+        def check(x):
+            return bool(predicate(x)) if x is not None else None
+
+        return s.map(lambda arr: _apply_nested(arr, depth, check))
+
+    return fn
+
+
 def udf_name_for_format(fmt: str) -> str:
     safe = "".join(c if c.isalnum() else "_" for c in fmt)
     return f"jss_fmt_{safe}"
@@ -128,12 +182,17 @@ def register_format_udfs(spark) -> None:
     them by name. Idempotent; called by the engine before execution."""
     spark.udf.register("jss_regex_compiles", _regex_compiles)
     spark.udf.register("jss_regex_compiles_arr", _regex_compiles_arr)
+    for d in range(2, MAX_LAMBDA_HOIST_DEPTH + 1):
+        spark.udf.register(f"jss_regex_compiles_arr{d}", _regex_compiles_nested(d))
     for name, predicate in configuration().custom_formats.items():
         if name in configuration().custom_format_columns:
             continue
         spark.udf.register(udf_name_for_format(name), _wrap_predicate_udf(predicate))
         spark.udf.register(udf_name_for_format(name) + "_arr",
                            _wrap_predicate_udf_arr(predicate))
+        for d in range(2, MAX_LAMBDA_HOIST_DEPTH + 1):
+            spark.udf.register(udf_name_for_format(name) + f"_arr{d}",
+                               _wrap_predicate_udf_nested(predicate, d))
 
 
 _RLIKE_FORMATS = {
@@ -155,12 +214,12 @@ def format_check_sql(fmt: str, string_expr: str, allow_udf: bool = True,
 
     ``allow_udf=False`` applies inside higher-order-function lambdas, where
     Spark forbids Python UDFs. There the compiler passes ``lambda_udf_cb``:
-    called with the UDF's base name, it pre-projects the check over the whole
-    enclosing collection (outside the lambda; flatten-hoisted with offset
-    bookkeeping when two lambda levels deep) and returns the element-indexed
-    replacement SQL — or None when no pre-projection is possible (a format
-    nested under THREE or more lambda levels: documented completeness gap,
-    validates vacuously true)."""
+    called with the UDF's base name, it pre-projects the check over the
+    whole enclosing collection stack as a depth-N nested array column fed
+    to the matching ``_arrN`` UDF (outside the lambdas) and returns the
+    element_at-indexed replacement SQL — or None when the nesting exceeds
+    MAX_LAMBDA_HOIST_DEPTH (vacuously true; documented gap no real schema
+    reaches)."""
     from .sqlgen import sql_str
 
     def udf_or_fallback(udf_name: str) -> str:

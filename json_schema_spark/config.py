@@ -24,8 +24,18 @@ from typing import Callable, Optional
 
 
 class Configuration:
+    """``_version`` increments on every attribute assignment (including
+    reset/register_format): the engine's compiled-SQL cache keys on it so a
+    config change can never serve stale compiled text."""
+
     def __init__(self):
+        object.__setattr__(self, "_version", 0)
         self.reset()
+
+    def __setattr__(self, name, value):
+        object.__setattr__(self, name, value)
+        if name != "_version":
+            object.__setattr__(self, "_version", self._version + 1)
 
     def reset(self) -> None:
         self.validate_regex_with: Optional[str] = None
@@ -45,9 +55,11 @@ class Configuration:
         predicate: Callable[[str], bool],
         column_builder: Optional[Callable] = None,
     ) -> None:
-        self.custom_formats[name] = predicate
+        # reassignment (not in-place mutation) so __setattr__ bumps _version
+        self.custom_formats = {**self.custom_formats, name: predicate}
         if column_builder is not None:
-            self.custom_format_columns[name] = column_builder
+            self.custom_format_columns = {**self.custom_format_columns,
+                                          name: column_builder}
 
 
 _configuration = Configuration()

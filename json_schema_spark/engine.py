@@ -17,9 +17,13 @@ Modes:
 
 from __future__ import annotations
 
+import json as _json
+from collections import OrderedDict
 from typing import List, Optional, Union
 
 from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+
+from .config import configuration
 
 from .compile.columnar import (ColumnarCompiler, Compiled, _coalesce_errors,
                                _flatten_errors)
@@ -160,6 +164,38 @@ class ValidationEngine:
         return ColumnarCompiler(max_unroll_depth=self.max_unroll_depth,
                                 max_ref_depth=self.max_ref_depth)
 
+    # parse → expand → emit-SQL is pure driver-side text generation, and at
+    # ~5 s for a 20-keyword schema it dominates repeated submissions of the
+    # same schema (streaming micro-batches, per-partition resume, bench
+    # warm passes). The emitted artifacts are plain strings — (valid, errors)
+    # SQL per part plus (name, sql) preprojections — so they cache safely
+    # keyed by canonical schema JSON + compiler bounds + the configuration
+    # version (any config change invalidates). Schemas passed as pre-parsed
+    # nodes or with an external document store skip the cache: their
+    # contents can change without the key changing.
+    _COMPILE_CACHE: "OrderedDict[tuple, tuple]" = OrderedDict()
+    _COMPILE_CACHE_MAX = 64
+
+    def _cached_compile(self, mode_key: tuple, schema, store, build):
+        if not isinstance(schema, dict) or store is not None:
+            return build()
+        try:
+            schema_key = _json.dumps(schema, sort_keys=True)
+        except TypeError:  # non-JSON-serializable payload: don't cache
+            return build()
+        key = (mode_key, schema_key, self.max_unroll_depth,
+               self.max_ref_depth, configuration()._version)
+        cache = ValidationEngine._COMPILE_CACHE
+        hit = cache.get(key)
+        if hit is not None:
+            cache.move_to_end(key)
+            return hit
+        out = build()
+        cache[key] = out
+        while len(cache) > ValidationEngine._COMPILE_CACHE_MAX:
+            cache.popitem(last=False)
+        return out
+
     def _annotate(self, df: DataFrame, parts: List[Compiled],
                   id_cols: Optional[List[str]],
                   verdict_only: bool = False,
@@ -218,34 +254,44 @@ class ValidationEngine:
                          store: Optional[DocumentStore] = None,
                          verdict_only: bool = False,
                          fail_fast: bool = False) -> ValidationResult:
-        node = compile_schema(schema, store)
-        # pre-project the root object-map cast once (manual CSE)
-        obj_col = "__jss_omap"
-        df = df.withColumn(obj_col, F.expr(
-            f"try_variant_get({variant_col}, '$', 'map<string,variant>')"))
-        # extend the CSE one level down: a nested object subschema touches
-        # its own map once per sub-keyword, and with codegen subexpression
-        # elimination disabled each occurrence would re-cast the variant —
-        # pre-project the nested map when the subschema makes 2+ accesses
         from .compile.sqlgen import sql_str
 
-        child_maps = {}
+        obj_col = "__jss_omap"
+
+        def build():
+            node = compile_schema(schema, store)
+            # extend the CSE one level down: a nested object subschema
+            # touches its own map once per sub-keyword, and with codegen
+            # subexpression elimination disabled each occurrence would
+            # re-cast the variant — pre-project the nested map when the
+            # subschema makes 2+ accesses
+            child_specs = []
+            child_maps = {}
+            for key, sub in (node.properties or {}).items():
+                if isinstance(sub, SchemaNode) and _object_accesses(sub) >= 2:
+                    col = f"__jss_omap_{len(child_maps)}"
+                    child_specs.append((key, col))
+                    child_maps[key] = col
+            value = VariantValue(variant_col, object_map_col=obj_col,
+                                 child_map_cols=child_maps)
+            compiler = self._compiler()
+            parts = compiler.compile_parts(node, value)
+            return parts, compiler.preprojections, child_specs
+
+        parts, preprojections, child_specs = self._cached_compile(
+            ("variant", variant_col), schema, store, build)
+        # pre-project the root object-map cast once (manual CSE)
+        df = df.withColumn(obj_col, F.expr(
+            f"try_variant_get({variant_col}, '$', 'map<string,variant>')"))
         drop_cols = [obj_col]
-        for key, sub in (node.properties or {}).items():
-            if isinstance(sub, SchemaNode) and _object_accesses(sub) >= 2:
-                col = f"__jss_omap_{len(child_maps)}"
-                df = df.withColumn(col, F.expr(
-                    f"try_variant_get(element_at({obj_col}, {sql_str(key)}), "
-                    f"'$', 'map<string,variant>')"))
-                child_maps[key] = col
-                drop_cols.append(col)
-        value = VariantValue(variant_col, object_map_col=obj_col,
-                             child_map_cols=child_maps)
-        compiler = self._compiler()
-        parts = compiler.compile_parts(node, value)
+        for key, col in child_specs:
+            df = df.withColumn(col, F.expr(
+                f"try_variant_get(element_at({obj_col}, {sql_str(key)}), "
+                f"'$', 'map<string,variant>')"))
+            drop_cols.append(col)
         result = self._annotate(df, parts, id_cols, verdict_only=verdict_only,
                                 fail_fast=fail_fast,
-                                preprojections=compiler.preprojections)
+                                preprojections=preprojections)
         result.annotated = result.annotated.drop(*drop_cols)
         return result
 
@@ -274,7 +320,21 @@ class ValidationEngine:
         """Validate typed rows. When ``doc_col`` is None the whole row is the
         JSON object (each column a property); otherwise the named
         struct/array/map column is."""
-        node = compile_schema(schema, store)
+        def build():
+            node = compile_schema(schema, store)
+            value = self._typed_value(node, df, doc_col)
+            compiler = self._compiler()
+            parts = compiler.compile_parts(node, value)
+            return parts, compiler.preprojections
+
+        parts, preprojections = self._cached_compile(
+            ("typed", doc_col, df.schema.simpleString()), schema, store, build)
+        return self._annotate(df, parts, id_cols, verdict_only=verdict_only,
+                              fail_fast=fail_fast,
+                              preprojections=preprojections)
+
+    def _typed_value(self, node: SchemaNode, df: DataFrame,
+                     doc_col: Optional[str]) -> TypedValue:
         if doc_col is not None:
             dtype = df.schema[doc_col].dataType
             value = TypedValue(doc_col, dtype)
@@ -309,8 +369,4 @@ class ValidationEngine:
             struct_type = T.StructType(fields)
             cols = ", ".join(f"'{f.name}', {f.name}" for f in fields)
             value = TypedValue(f"named_struct({cols})", struct_type)
-        compiler = self._compiler()
-        parts = compiler.compile_parts(node, value)
-        return self._annotate(df, parts, id_cols, verdict_only=verdict_only,
-                              fail_fast=fail_fast,
-                              preprojections=compiler.preprojections)
+        return value

@@ -79,40 +79,41 @@ def extract_media_features(media_with_payloads: DataFrame,
                            target_batch_mb: int = 64,
                            avg_payload_bytes: int = 4096) -> DataFrame:
     """Decode + feature-extract via ``mapInPandas`` (Arrow batches, never
-    row-at-a-time serde). Rows are repartitioned so each task holds roughly
-    ``target_batch_mb`` of payload."""
-    # Cap Arrow batch size by row count instead of counting the input first
-    # (a .count() here would add a full extra scan of the payload table per
-    # run — at 100 TB that is the dominant cost). Partition sizing is left to
-    # the source split size / AQE; maxRecordsPerBatch bounds each decode
-    # batch to ~target_batch_mb of payload.
-    rows_per_batch = max(1, (target_batch_mb * 1024 * 1024) // max(1, avg_payload_bytes))
-    spark = media_with_payloads.sparkSession
-    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch",
-                   str(rows_per_batch))
+    row-at-a-time serde). Memory is bounded STRUCTURALLY: each incoming
+    Arrow batch is processed in chunks of ~``target_batch_mb`` of payload
+    and yielded per-chunk, so decode products never accumulate past the
+    budget regardless of the session's Arrow batch-size conf. (Round 2 set
+    spark.sql.execution.arrow.maxRecordsPerBatch session-wide as a side
+    effect — a leak into every later Arrow operation, flagged by ADVICE;
+    no session conf is touched now.) A .count()-based sizing pass is
+    likewise avoided — at 100 TB an extra payload scan dominates."""
+    rows_per_chunk = max(1, (target_batch_mb * 1024 * 1024) // max(1, avg_payload_bytes))
     df = media_with_payloads
 
     def decode_batches(batches: Iterator) -> Iterator:
         import pandas as pd
 
         for pdf in batches:
-            out = {
-                "media_ref": pdf["media_ref"],
-                "mime": pdf["mime"],
-                "n_bytes": pdf["payload"].map(lambda b: len(b) if b is not None else None),
-                "sha256": pdf["payload"].map(
-                    lambda b: hashlib.sha256(b).hexdigest() if b is not None else None),
-            }
-            widths, heights, feats = [], [], []
-            for payload, mime in zip(pdf["payload"], pdf["mime"]):
-                w, h, f = _decode_stub(payload, mime)
-                widths.append(w)
-                heights.append(h)
-                feats.append(f)
-            out["width"] = widths
-            out["height"] = heights
-            out["features"] = feats
-            yield pd.DataFrame(out)
+            for lo in range(0, len(pdf), rows_per_chunk):
+                chunk = pdf.iloc[lo:lo + rows_per_chunk]
+                out = {
+                    "media_ref": chunk["media_ref"],
+                    "mime": chunk["mime"],
+                    "n_bytes": chunk["payload"].map(
+                        lambda b: len(b) if b is not None else None),
+                    "sha256": chunk["payload"].map(
+                        lambda b: hashlib.sha256(b).hexdigest() if b is not None else None),
+                }
+                widths, heights, feats = [], [], []
+                for payload, mime in zip(chunk["payload"], chunk["mime"]):
+                    w, h, f = _decode_stub(payload, mime)
+                    widths.append(w)
+                    heights.append(h)
+                    feats.append(f)
+                out["width"] = widths
+                out["height"] = heights
+                out["features"] = feats
+                yield pd.DataFrame(out)
 
     return df.mapInPandas(decode_batches, FEATURES_SCHEMA)
 
@@ -168,38 +169,39 @@ def resize_images(media_with_payloads: DataFrame, max_side: int = 32,
     min 1). The geometry math, schema contract, Arrow batch shape, and
     image-only filtering are real; the pixel transform is the declared
     codec stub (_resize_stub)."""
-    rows_per_batch = max(1, (target_batch_mb * 1024 * 1024) // max(1, avg_payload_bytes))
-    spark = media_with_payloads.sparkSession
-    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch",
-                   str(rows_per_batch))
+    # structural chunking, no session-conf mutation — see
+    # extract_media_features for the rationale
+    rows_per_chunk = max(1, (target_batch_mb * 1024 * 1024) // max(1, avg_payload_bytes))
     imgs = media_with_payloads.where(F.col("mime").startswith("image/"))
 
     def resize_batches(batches: Iterator) -> Iterator:
         import pandas as pd
 
         for pdf in batches:
-            src_w, src_h, out_w, out_h, out_p = [], [], [], [], []
-            for payload, mime in zip(pdf["payload"], pdf["mime"]):
-                w, h, _ = _decode_stub(payload, mime)
-                if w >= h:
-                    tw = min(w, max_side)
-                    th = max(1, (h * tw) // w)
-                else:
-                    th = min(h, max_side)
-                    tw = max(1, (w * th) // h)
-                src_w.append(w)
-                src_h.append(h)
-                out_w.append(tw)
-                out_h.append(th)
-                out_p.append(_resize_stub(payload, mime, tw, th))
-            yield pd.DataFrame({
-                "media_ref": pdf["media_ref"],
-                "mime": pdf["mime"],
-                "src_width": src_w,
-                "src_height": src_h,
-                "width": out_w,
-                "height": out_h,
-                "payload": out_p,
-            })
+            for lo in range(0, len(pdf), rows_per_chunk):
+                chunk = pdf.iloc[lo:lo + rows_per_chunk]
+                src_w, src_h, out_w, out_h, out_p = [], [], [], [], []
+                for payload, mime in zip(chunk["payload"], chunk["mime"]):
+                    w, h, _ = _decode_stub(payload, mime)
+                    if w >= h:
+                        tw = min(w, max_side)
+                        th = max(1, (h * tw) // w)
+                    else:
+                        th = min(h, max_side)
+                        tw = max(1, (w * th) // h)
+                    src_w.append(w)
+                    src_h.append(h)
+                    out_w.append(tw)
+                    out_h.append(th)
+                    out_p.append(_resize_stub(payload, mime, tw, th))
+                yield pd.DataFrame({
+                    "media_ref": chunk["media_ref"],
+                    "mime": chunk["mime"],
+                    "src_width": src_w,
+                    "src_height": src_h,
+                    "width": out_w,
+                    "height": out_h,
+                    "payload": out_p,
+                })
 
     return imgs.mapInPandas(resize_batches, RESIZED_SCHEMA)

@@ -73,8 +73,8 @@ def test_format_in_property_under_items(spark):
 
 
 def test_doubly_nested_format(spark):
-    # two lambda levels deep: the flatten-hoist pre-projects one flat UDF
-    # pass over every leaf with offset bookkeeping per outer element
+    # two lambda levels deep: the nested hoist pre-projects a depth-2
+    # array UDF column and indexes back with two element_at levels
     out = run_case(spark, {"items": {"items": {"format": "regex"}}},
                    [["ok", "("], [], ["x["], [".*"]], definition=None)
     assert not out.valid
@@ -99,9 +99,39 @@ def test_doubly_nested_format_mixed_collections(spark):
     assert out.types == ["invalid_format"]
 
 
-def test_triply_nested_format_documented_gap(spark):
-    # three lambda levels deep there is no bounded hoist — validates
-    # vacuously true (documented completeness gap)
+def test_triply_nested_format(spark):
+    # round 2's documented gap: ≥3 lambda levels validated vacuously true.
+    # The nested hoist closes it — a bad regex three items-levels deep must
+    # fail with the right path (reference: validator.rb:216-229 fires at
+    # any depth).
     out = run_case(spark, {"items": {"items": {"items": {"format": "regex"}}}},
-                   [[["("]]], definition=None)
-    assert out.valid
+                   [[["ok", "("], []], [["x["]], [[".*"]]], definition=None)
+    assert not out.valid
+    assert out.types == ["invalid_format", "invalid_format"]
+    assert out.paths == ["#/0/0/1", "#/1/0/0"]
+
+
+def test_triply_nested_format_all_pass(spark):
+    out = run_case(spark, {"items": {"items": {"items": {"format": "regex"}}}},
+                   [[["ok"], []], [["a|b", ".*"]]], definition=None)
+    assert out.valid, out.messages
+
+
+def test_quadruply_nested_custom_format(spark):
+    configuration().register_format("even-length", lambda s: len(s) % 2 == 0)
+    schema = {"items": {"items": {"items": {"items": {"format": "even-length"}}}}}
+    out = run_case(spark, schema, [[[["ab", "abc"]]]], definition=None)
+    assert not out.valid
+    assert out.paths == ["#/0/0/0/1"]
+    assert out.types == ["invalid_format"]
+
+
+def test_triply_nested_mixed_map_and_array_levels(spark):
+    # patternProperties (map level) -> items -> items -> format
+    schema = {"patternProperties": {"^re_": {"items": {"items": {"format": "regex"}}}}}
+    out = run_case(spark, schema,
+                   {"re_a": [["ok", "("], []], "re_b": [["fine"]], "other": 3},
+                   definition=None)
+    assert not out.valid
+    assert out.paths == ["#/re_a/0/1"]
+    assert out.types == ["invalid_format"]
