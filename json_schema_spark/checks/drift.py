@@ -108,31 +108,70 @@ def ks_critical_value(n_ref: int, n_cur: int, alpha: float = 0.05) -> float:
 # --- TDigest path (north_star: per-partition sketches + treeAggregate) -------
 
 
-def column_tdigest(df: DataFrame, col: str, compression: int = 100) -> "TDigest":
+def column_tdigest(df: DataFrame, col: str, compression: int = 100,
+                   deterministic: bool = True,
+                   num_sketch_partitions: int = 32) -> "TDigest":
     """One t-digest for ``col``: per-partition digests built inside
-    ``mapInPandas`` (Arrow batches — no per-row Python), one serialized
-    digest row per partition, merged with RDD ``treeAggregate``
-    (hierarchical: constant driver memory at any partition count)."""
+    ``mapInPandas`` (Arrow batches — no per-row Python), merged centrally.
+
+    ``deterministic=True`` (default) makes the sketch a pure function of
+    the VALUE MULTISET — invariant to input file layout, parallelism, task
+    completion order, and Arrow batch segmentation (round-2 VERDICT #10):
+
+    - values hash-repartition into a FIXED ``num_sketch_partitions`` bucket
+      layout and sort within each bucket (ties are interchangeable — equal
+      values produce identical buffer entries), so every bucket digests an
+      identical value sequence on any cluster;
+    - bucket digests merge driver-side in bucket order — a fixed fold
+      schedule over O(num_sketch_partitions · compression) floats.
+
+    The price is one shuffle of the value column. ``deterministic=False``
+    keeps the shuffle-free original: one digest per INPUT partition merged
+    with RDD ``treeAggregate`` (hierarchical, constant driver memory at any
+    partition count) — preferable at extreme scale when bit-stability
+    across runs is not required (results differ only within sketch error).
+    """
     from .tdigest import TDigest
 
     src = df.select(F.col(col).cast("double").alias("v")) \
             .where(F.col("v").isNotNull())
+    if deterministic:
+        src = (src.repartition(num_sketch_partitions, F.col("v"))
+               .withColumn("pid", F.spark_partition_id())
+               .sortWithinPartitions("v"))
 
     def sketch(batches):
         import pandas as pd
 
         d = TDigest(compression)
+        pid = None
         for pdf in batches:
+            if pid is None and "pid" in pdf.columns and len(pdf):
+                pid = int(pdf["pid"].iloc[0])
             d.add_many(pdf["v"].to_numpy())
+        if d.count == 0:
+            return  # empty partition contributes nothing
         row = d.to_row()
+        row["pid"] = -1 if pid is None else pid
         yield pd.DataFrame({k: [row[k]] for k in
-                            ("means", "weights", "count", "min", "max")})
+                            ("pid", "means", "weights", "count", "min", "max")})
 
     digest_rows = src.mapInPandas(
         sketch,
-        "means array<double>, weights array<double>, count double, "
+        "pid int, means array<double>, weights array<double>, count double, "
         "min double, max double",
     )
+
+    if deterministic:
+        # collect order is nondeterministic; sort by bucket id so the fold
+        # schedule is fixed. O(num_sketch_partitions) rows.
+        partials = [(row["pid"], TDigest.from_row(
+            row["means"], row["weights"], row["count"], row["min"],
+            row["max"], compression)) for row in digest_rows.collect()]
+        acc = TDigest(compression)
+        for _, d in sorted(partials, key=lambda t: t[0]):
+            acc.merge(d)
+        return acc
 
     def seq(acc: "TDigest", row) -> "TDigest":
         return acc.merge(TDigest.from_row(row["means"], row["weights"],
@@ -146,16 +185,19 @@ def column_tdigest(df: DataFrame, col: str, compression: int = 100) -> "TDigest"
 
 
 def drift_report_tdigest(reference: DataFrame, current: DataFrame, col: str,
-                         compression: int = 100, psi_buckets: int = 10) -> dict:
+                         compression: int = 100, psi_buckets: int = 10,
+                         deterministic: bool = True) -> dict:
     """KS + PSI of ``col`` via t-digest sketches — adaptive resolution for
     long-tailed columns where equi-width buckets (drift_report) waste bins.
-    Sketch results depend on partitioning/merge order (bounded approximation
-    error, not bit-reproducible) — cross-checked against the exact
-    histogram path in tests rather than a SQL oracle."""
+    With ``deterministic`` (default) the report is bit-reproducible across
+    runs, parallelism levels, and input layouts (see column_tdigest);
+    accuracy is cross-checked against the exact histogram path in tests."""
     from .tdigest import ks_statistic, psi
 
-    d_ref = column_tdigest(reference, col, compression)
-    d_cur = column_tdigest(current, col, compression)
+    d_ref = column_tdigest(reference, col, compression,
+                           deterministic=deterministic)
+    d_cur = column_tdigest(current, col, compression,
+                           deterministic=deterministic)
     return {
         "column": col,
         "compression": compression,

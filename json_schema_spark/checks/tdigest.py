@@ -42,6 +42,13 @@ class TDigest:
     # --- building ---------------------------------------------------------
 
     def add_many(self, values: Iterable[float], weight: float = 1.0) -> None:
+        # the compression trigger fires at an EXACT buffer size, checked per
+        # value — not once per add_many call. A per-call check would make
+        # the compression schedule (and thus the final centroids) depend on
+        # how the caller segmented the value stream into batches (Arrow
+        # batch size!); per-value the schedule depends only on the value
+        # SEQUENCE, which the deterministic sketch path pins by sorting.
+        limit = 10 * self.compression
         for v in values:
             if v is None or (isinstance(v, float) and math.isnan(v)):
                 continue
@@ -52,8 +59,8 @@ class TDigest:
                 self.min = v
             if v > self.max:
                 self.max = v
-        if len(self.buffer) > 10 * self.compression:
-            self._compress()
+            if len(self.buffer) >= limit:
+                self._compress()
 
     def merge(self, other: "TDigest") -> "TDigest":
         """In-place merge; returns self (treeAggregate combOp shape)."""
