@@ -23,7 +23,8 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from json_schema_spark.checks import (column_stats, drift_report,
                                       duplicate_keys)
 from json_schema_spark.engine import ValidationEngine
-from json_schema_spark.pipeline import dedup, similarity, text as text_ops
+from json_schema_spark.pipeline import (asof, dedup, similarity,
+                                        text as text_ops)
 
 # ---------------------------------------------------------------------------
 
@@ -494,6 +495,34 @@ def q_ivf_topk(spark, sf_dir):
                       F.round("cosine", 6).alias("cosine_r6"))
 
 
+def q_duplicate_clusters(spark, sf_dir):
+    """Near-dup PAIRS → dedup GROUPS: hash-min label-propagation connected
+    components over the jaccard pair edges; cluster_id = component min id
+    (the canonical keep representative). The DuckDB oracle recomputes the
+    closure independently with a recursive CTE."""
+    d = _t(spark, sf_dir, "documents")
+    pairs = dedup.jaccard_pairs(d, n=3, threshold=0.2, max_shingle_freq=1000)
+    return dedup.duplicate_clusters(pairs)
+
+
+def q_asof_click_before_purchase(spark, sf_dir):
+    """As-of join: each purchase event picks up the most recent click value
+    at-or-before its timestamp for the same user (union + running-last
+    window — one shuffle, no range-join fan-out). Oracle: DuckDB's native
+    ASOF LEFT JOIN, an independent engine implementation of the same
+    semantics."""
+    e = _t(spark, sf_dir, "events")
+    left = (e.where(F.col("event_type") == "purchase")
+            .select("event_id", "user_id", "ts", "value"))
+    right = (e.where(F.col("event_type") == "click")
+             .groupBy("user_id", "ts")
+             .agg(F.max("value").alias("click_value")))
+    out = asof.asof_join(left, right, on="user_id", ts="ts",
+                         right_value_cols=["click_value"])
+    return out.select("event_id", "user_id", "value",
+                      F.col("click_value_asof"))
+
+
 def q_minhash_lsh_candidates(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return dedup.minhash_lsh_candidates(d, n=3, num_hashes=8, bands=4)
@@ -627,6 +656,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_pairs": q_simhash_near_pairs,
         "drift_events": q_drift_events,
         "drift_events_tdigest": q_drift_events_tdigest,
+        "duplicate_clusters": q_duplicate_clusters,
+        "asof_click_before_purchase": q_asof_click_before_purchase,
         "deep_validate_props": q_deep_validate_props,
         "detect_mode": q_detect_mode,
     }
@@ -1214,6 +1245,49 @@ def oracle_sql() -> dict[str, str]:
                    (CAST(json_extract_string(props, '$.k') AS BIGINT) % 4)
                        NOT IN (1, 2) AS is_valid
             FROM (SELECT * FROM events ORDER BY event_id LIMIT 500)
+        """,
+        "duplicate_clusters": f"""
+            WITH RECURSIVE {_SHINGLES_CTE},
+            shc AS (
+                SELECT sh.doc_id, sh.shingle FROM sh
+                JOIN (SELECT shingle FROM sh GROUP BY shingle
+                      HAVING count(*) <= 1000) f USING (shingle)
+            ),
+            sizes AS (SELECT doc_id, count(*) AS n_sh FROM shc GROUP BY doc_id),
+            common AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+                FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                GROUP BY a.doc_id, b.doc_id
+            ),
+            pairs AS (
+                SELECT id_a, id_b FROM common
+                JOIN sizes sa ON sa.doc_id = id_a
+                JOIN sizes sb ON sb.doc_id = id_b
+                WHERE CAST(common AS DOUBLE)
+                      / CAST(sa.n_sh + sb.n_sh - common AS DOUBLE) >= 0.2
+            ),
+            verts AS (SELECT id_a AS id FROM pairs UNION SELECT id_b FROM pairs),
+            edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                      UNION SELECT id_b, id_a FROM pairs),
+            reach AS (
+                SELECT id, id AS label FROM verts
+                UNION
+                SELECT e.dst AS id, r.label
+                FROM edges e JOIN reach r ON r.id = e.src
+            )
+            SELECT id AS doc_id, CAST(min(label) AS BIGINT) AS cluster_id
+            FROM reach GROUP BY id
+        """,
+        "asof_click_before_purchase": """
+            WITH l AS (SELECT event_id, user_id, ts, value FROM events
+                       WHERE event_type = 'purchase'),
+            r AS (SELECT user_id, ts, max(value) AS click_value
+                  FROM events WHERE event_type = 'click'
+                  GROUP BY user_id, ts)
+            SELECT l.event_id, l.user_id, l.value,
+                   r.click_value AS click_value_asof
+            FROM l ASOF LEFT JOIN r
+              ON l.user_id = r.user_id AND l.ts >= r.ts
         """,
         # Expected-values pin, not an independent recomputation (a t-digest
         # cannot run in SQL): legitimate ONLY because the sketch is now a

@@ -57,6 +57,8 @@ BENCH_QUERIES = [
     "lsh_topk",
     "ivf_topk",
     "embedding_near_dups",
+    "duplicate_clusters",
+    "asof_click_before_purchase",
 ]
 
 

@@ -198,6 +198,56 @@ def minhash_lsh_candidates(df: DataFrame, n: int = 3, num_hashes: int = 8,
     )
 
 
+def duplicate_clusters(pairs: DataFrame, id_a: str = "id_a",
+                       id_b: str = "id_b",
+                       max_iterations: int = 25) -> DataFrame:
+    """(doc_id, cluster_id): connected components over duplicate-pair edges
+    — the step that turns pair output (jaccard/simhash/LSH/embedding) into
+    dedup groups. ``cluster_id`` is the component's minimum doc id, so the
+    canonical "keep" representative falls out for free and the result is
+    fully deterministic (min is order-invariant).
+
+    Algorithm: hash-min label propagation. Each round is one join + one
+    min-aggregate, both shuffling on the id — O(E) work per round, rounds
+    bounded by component diameter. Near-dup components are tiny by
+    construction (pairs come from banded LSH / thresholded similarity), so
+    2-5 rounds dominate; the loop exits early on a converged round (one
+    O(1) count per round driver-side — the standard iterative-algorithm
+    shape, not a collect of data). The label table is ``localCheckpoint``ed
+    every round: without lineage truncation each round's plan embeds the
+    previous round's twice (label join + convergence check) — exponential
+    plan growth that OOMs the driver after ~8 rounds regardless of data
+    size. Checkpointed label state is O(V)."""
+    edges = (pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+             .union(pairs.select(F.col(id_b).alias("src"),
+                                 F.col(id_a).alias("dst")))
+             .distinct().persist())
+    labels = (edges.select(F.col("src").alias("id")).distinct()
+              .withColumn("label", F.col("id")).localCheckpoint())
+    for _ in range(max_iterations):
+        nbr = (edges.join(labels.select(F.col("id").alias("src"),
+                                        F.col("label").alias("src_label")),
+                          "src")
+               .groupBy("dst").agg(F.min("src_label").alias("nbr_label"))
+               .select(F.col("dst").alias("id"), "nbr_label"))
+        new_labels = (labels.join(nbr, "id", "left")
+                      .select("id",
+                              F.least(F.col("label"),
+                                      F.coalesce("nbr_label", "label"))
+                              .alias("label"))
+                      .localCheckpoint())
+        changed = (new_labels.select("id", F.col("label").alias("new_label"))
+                   .join(labels, "id")
+                   .where(F.col("new_label") != F.col("label"))
+                   .limit(1).count())
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(F.col("id").alias("doc_id"),
+                         F.col("label").alias("cluster_id"))
+
+
 def simhash(df: DataFrame, bits: int = 60, text_col: str = "text",
             id_col: str = "doc_id", n: int = 3) -> DataFrame:
     """(id, simhash: bigint) sign-aggregated feature-hash fingerprint over

@@ -1,0 +1,80 @@
+"""Unit tests for the round-3 relational additions: as-of join (union +
+running-last window) and duplicate clustering (hash-min label-propagation
+connected components)."""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from json_schema_spark.pipeline import dedup
+from json_schema_spark.pipeline.asof import asof_join
+
+
+def _ts(minute):
+    return datetime.datetime(2026, 1, 1, 12, minute, 0)
+
+
+def test_asof_basic_and_ties(spark):
+    left = spark.createDataFrame(
+        [(1, "u1", _ts(10), 100.0),
+         (2, "u1", _ts(20), 200.0),
+         (3, "u2", _ts(5), 300.0),   # no prior right row for u2
+         (4, "u1", _ts(15), 400.0)],  # tie with the right row at :15
+        "event_id bigint, user_id string, ts timestamp, value double")
+    right = spark.createDataFrame(
+        [("u1", _ts(8), 1.0),
+         ("u1", _ts(15), 2.0),
+         ("u2", _ts(30), 3.0)],
+        "user_id string, ts timestamp, click double")
+    out = asof_join(left, right, on="user_id", ts="ts",
+                    right_value_cols=["click"])
+    got = {r.event_id: r.click_asof for r in out.collect()}
+    assert got == {
+        1: 1.0,   # :10 sees the :08 click
+        4: 2.0,   # tie: right row AT the left ts counts ("at or before")
+        2: 2.0,   # :20 sees the :15 click
+        3: None,  # u2 has no click at or before :05
+    }
+    # left row count and columns preserved
+    assert out.count() == 4
+    assert out.columns == ["event_id", "user_id", "ts", "value", "click_asof"]
+
+
+def test_asof_multi_key_and_multi_value(spark):
+    left = spark.createDataFrame(
+        [(1, "a", "x", _ts(10))],
+        "event_id bigint, k1 string, k2 string, ts timestamp")
+    right = spark.createDataFrame(
+        [("a", "x", _ts(9), 7.0, "hi"),
+         ("a", "y", _ts(9), 8.0, "wrong-key"),
+         ("b", "x", _ts(9), 9.0, "wrong-key")],
+        "k1 string, k2 string, ts timestamp, v double, s string")
+    out = asof_join(left, right, on=["k1", "k2"], ts="ts")
+    row = out.collect()[0]
+    assert (row.v_asof, row.s_asof) == (7.0, "hi")
+
+
+def test_duplicate_clusters_components(spark):
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 23)],
+        "id_a bigint, id_b bigint")
+    out = {(r.doc_id, r.cluster_id)
+           for r in dedup.duplicate_clusters(pairs).collect()}
+    assert out == {(1, 1), (2, 1), (3, 1), (10, 10), (11, 10),
+                   (20, 20), (21, 20), (22, 20), (23, 20)}
+
+
+def test_duplicate_clusters_long_chain_converges(spark):
+    # a path graph exercises multi-round propagation (diameter 9)
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 10)], "id_a bigint, id_b bigint")
+    out = dedup.duplicate_clusters(pairs)
+    assert {r.cluster_id for r in out.collect()} == {1}
+    assert out.count() == 10
+
+
+def test_duplicate_clusters_empty(spark):
+    pairs = spark.createDataFrame([], "id_a bigint, id_b bigint")
+    assert dedup.duplicate_clusters(pairs).count() == 0
