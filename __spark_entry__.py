@@ -474,11 +474,13 @@ def q_embedding_near_dups(spark, sf_dir):
 
 
 def q_lsh_topk(spark, sf_dir):
-    """The scale ANN path: hyperplane-bucketed candidates, exact re-rank.
-    Hyperplane signs are md5-derived and the projection is an exact integer
-    dot product, so buckets (and the result) are engine-portable."""
+    """The scale ANN path: hyperplane-bucketed candidates (4 OR-amplified
+    bands × 6 planes — closes round 2's single-band recall caveat), exact
+    re-rank. Hyperplane signs are md5-derived and the projection is an
+    exact integer dot product, so buckets (and the result) are
+    engine-portable."""
     emb = _t(spark, sf_dir, "embeddings")
-    out = similarity.lsh_topk(emb, k=5, planes=6)
+    out = similarity.lsh_topk(emb, k=5, planes=6, bands=4)
     return out.select("query_id", "neighbor_id", "rank",
                       F.round("cosine", 6).alias("cosine_r6"))
 
@@ -721,19 +723,27 @@ sh AS (
 """
 
 
-def _lsh_topk_oracle(planes: int = 6, seed: int = 42, k: int = 5) -> str:
+def _lsh_topk_oracle(planes: int = 6, seed: int = 42, k: int = 5,
+                     bands: int = 4) -> str:
     """DuckDB replica of similarity.lsh_topk: md5-derived ±1 hyperplane
-    signs over the integer-quantized vector — exact integer projections, so
-    buckets match Spark's bit-for-bit."""
+    signs over the integer-quantized vector (band b = global plane indices
+    [b·planes, (b+1)·planes)) — exact integer projections, so buckets match
+    Spark's bit-for-bit; candidates from ANY shared band bucket."""
     sign = ("(CASE WHEN CAST(concat('0x', substr(md5(concat('hp_{seed}_{p}_', i - 1)), 1, 15)) AS BIGINT)"
             " % 2 = 0 THEN 1 ELSE -1 END)")
     projs = ",\n                   ".join(
         "list_sum(list_transform(range(1, len(qv) + 1), i -> qv[i] * "
         + sign.format(seed=seed, p=p) + f")) AS s{p}"
-        for p in range(planes)
+        for p in range(bands * planes)
     )
-    bucket = ", ".join(f"CASE WHEN s{p} >= 0 THEN '1' ELSE '0' END"
-                       for p in range(planes))
+    band_rows = ",\n                ".join(
+        "({b}, concat({bits}))".format(
+            b=b,
+            bits=", ".join(
+                f"CASE WHEN s{b * planes + r} >= 0 THEN '1' ELSE '0' END"
+                for r in range(planes)))
+        for b in range(bands)
+    )
     return f"""
         WITH v AS (
             SELECT vec_id,
@@ -745,14 +755,28 @@ def _lsh_topk_oracle(planes: int = 6, seed: int = 42, k: int = 5) -> str:
                    {projs}
             FROM v
         ),
-        buck AS (SELECT vec_id, qv, concat({bucket}) AS bucket FROM proj),
+        banded AS (
+            SELECT p.vec_id, bb.band, bb.bucket
+            FROM proj p, LATERAL (
+                SELECT * FROM (VALUES
+                {band_rows}) AS t(band, bucket)
+            ) bb
+        ),
+        pairs AS (
+            SELECT DISTINCT a.vec_id AS query_id, b.vec_id AS neighbor_id
+            FROM banded a JOIN banded b
+              ON a.band = b.band AND a.bucket = b.bucket
+             AND a.vec_id <> b.vec_id
+        ),
         cand AS (
-            SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
-                   CAST(list_sum(list_transform(range(1, len(a.qv) + 1),
-                        i -> a.qv[i] * b.qv[i])) AS DOUBLE)
-                   / sqrt(CAST(list_sum(list_transform(a.qv, x -> x * x))
-                          * list_sum(list_transform(b.qv, x -> x * x)) AS DOUBLE)) AS cosine
-            FROM buck a JOIN buck b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+            SELECT c.query_id, c.neighbor_id,
+                   CAST(list_sum(list_transform(range(1, len(va.qv) + 1),
+                        i -> va.qv[i] * vb.qv[i])) AS DOUBLE)
+                   / sqrt(CAST(list_sum(list_transform(va.qv, x -> x * x))
+                          * list_sum(list_transform(vb.qv, x -> x * x)) AS DOUBLE)) AS cosine
+            FROM pairs c
+            JOIN v va ON va.vec_id = c.query_id
+            JOIN v vb ON vb.vec_id = c.neighbor_id
         ),
         ranked AS (
             SELECT query_id, neighbor_id, cosine,

@@ -178,19 +178,34 @@ def hyperplane_bands(embeddings: DataFrame, bands: int = 8,
 
 def lsh_topk(embeddings: DataFrame, k: int = 5, planes: int = 8,
              id_col: str = "vec_id", vec_col: str = "embedding",
-             q: int = 1000, seed: int = 42) -> DataFrame:
-    """Approximate top-k: candidates restricted to the same hyperplane
-    bucket, re-ranked by exact quantized cosine."""
-    # bucket table feeds both join sides: persist so the projection pass
-    # over the corpus runs once; norms are per-VECTOR quantities — computed
-    # here (n rows), never per candidate pair
-    b = (hyperplane_buckets(embeddings, planes, id_col, vec_col, seed, q)
-         .withColumn("_qv", quantize(F.col(vec_col), q))
-         .withColumn("_nrm", _dot(F.col("_qv"), F.col("_qv")))
-         .persist())
-    left = b.select(F.col(id_col).alias("query_id"), F.col("bucket"),
-                    F.col("_qv").alias("qv"), F.col("_nrm").alias("qq"))
-    right = b.select(F.col(id_col).alias("neighbor_id"), F.col("bucket"),
+             q: int = 1000, seed: int = 42, bands: int = 1,
+             dims: Optional[int] = None) -> DataFrame:
+    """Approximate top-k: candidates restricted to a shared hyperplane
+    bucket in ANY of ``bands`` bands (``planes`` bits each), re-ranked by
+    exact quantized cosine. bands=1 is the classic single-signature LSH;
+    bands>1 OR-amplifies recall exactly as in embedding_near_dups (per-pair
+    candidate probability 1−(1−(1−θ/π)^planes)^bands) at the cost of
+    ``bands``× projection work and candidate-union dedup."""
+    # banded bucket table feeds both join sides: persist so the projection
+    # pass over the corpus runs once; norms are per-VECTOR quantities —
+    # computed once per vector (n rows), never per candidate pair
+    vecs = (embeddings
+            .select(F.col(id_col), quantize(F.col(vec_col), q).alias("_qv"))
+            .withColumn("_nrm", _dot(F.col("_qv"), F.col("_qv")))
+            .persist())
+    bb = hyperplane_bands(embeddings, bands, planes, id_col, vec_col,
+                          seed, q, dims).persist()
+    left = bb.select(F.col(id_col).alias("query_id"), "band", "bucket")
+    right = bb.select(F.col(id_col).alias("neighbor_id"), "band", "bucket")
+    # dedup on bare id pairs BEFORE re-attaching vectors (a pair can
+    # collide in several bands; distinct over dim-length arrays would
+    # shuffle and compare full vectors per candidate)
+    pairs = (left.join(right, ["band", "bucket"])
+             .where(F.col("query_id") != F.col("neighbor_id"))
+             .select("query_id", "neighbor_id").distinct())
+    qs = vecs.select(F.col(id_col).alias("query_id"),
+                     F.col("_qv").alias("qv"), F.col("_nrm").alias("qq"))
+    ns = vecs.select(F.col(id_col).alias("neighbor_id"),
                      F.col("_qv").alias("nv"), F.col("_nrm").alias("nn"))
     # score AFTER a repartition on query_id: the candidate join's shuffle is
     # small (AQE coalesces it), but the per-candidate dot products are
@@ -198,8 +213,7 @@ def lsh_topk(embeddings: DataFrame, k: int = 5, planes: int = 8,
     # the top-k window reuses the same partitioning (sort only, no shuffle)
     n_part = embeddings.sparkSession.sparkContext.defaultParallelism
     cand = (
-        left.join(right, "bucket")
-        .where(F.col("query_id") != F.col("neighbor_id"))
+        pairs.join(qs, "query_id").join(ns, "neighbor_id")
         .repartition(n_part, F.col("query_id"))
         .withColumn(
             "cosine",

@@ -134,3 +134,29 @@ def test_ivf_coarse_scan_runs_once(spark):
     assert "InMemoryRelation" in plan
     assert "Join Cross" not in plan, "coarse crossJoin escaped the cache"
     spark.catalog.clearCache()
+
+
+def test_lsh_topk_multiband_improves_top1_recall(spark):
+    """bands=4 must recover (nearly) all exact top-1 neighbors for the
+    planted near-dup pairs; the single band misses a chunk of them. Run on
+    the planted corpus where each planted vector's true top-1 is its
+    source."""
+    rows = _planted_corpus()
+    df = _emb_df(spark, rows)
+    # exact top-1 via cosine_topk (the repo's own exact baseline)
+    top1 = {r.query_id: r.neighbor_id
+            for r in similarity.cosine_topk(df, k=1).collect()}
+    planted_qs = [1000 + j for j in range(25)]
+
+    def recall(bands):
+        got = {(r.query_id, r.neighbor_id)
+               for r in similarity.lsh_topk(df, k=1, planes=6,
+                                            bands=bands).collect()}
+        hit = sum((q, top1[q]) in got for q in planted_qs)
+        spark.catalog.clearCache()
+        return hit / len(planted_qs)
+
+    r4 = recall(4)
+    r1 = recall(1)
+    assert r4 >= 0.92, f"multi-band top-1 recall {r4:.2f}"
+    assert r4 >= r1, (r4, r1)
