@@ -49,14 +49,12 @@ def cosine_topk(embeddings: DataFrame, k: int = 5,
 
     # broadcast the QUERY side (bounded: a calibration/query set), stream the
     # corpus — broadcasting the corpus side OOMs at any real scale
+    pc = _pair_cosine_udf()
     scored = (
         base.crossJoin(F.broadcast(qdf))
         .where(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn(
-            "cosine",
-            _dot(F.col("qv"), F.col("nv")).cast("double")
-            / F.sqrt((F.col("qq") * F.col("nn")).cast("double")),
-        )
+        .withColumn("cosine", pc(F.col("qv"), F.col("nv"),
+                                 F.col("qq"), F.col("nn")))
     )
     from pyspark.sql import Window
 
@@ -110,10 +108,12 @@ def _dim_guard(vec: F.Column, dims: int, id_col: F.Column, op: str) -> F.Column:
 def _plane_bit(qv: F.Column, dims: int, plane: int, seed: int) -> F.Column:
     """'1'/'0' sign bit of the exact integer projection of ``qv`` onto
     hyperplane ``plane``. The ±1 sign vector is an md5-derived CONSTANT per
-    (plane, dim): constant-folded driver-side into a literal array rather
-    than recomputed as per-row md5s inside the lambda."""
-    signs = F.array(*[F.lit(_plane_sign_py(seed, plane, i)).cast("bigint")
-                      for i in range(dims)])
+    (plane, dim), materialized as ONE ArrayType literal — not dims separate
+    Literal nodes wrapped in array() (a 48-plane × 64-dim query would carry
+    3072 expression nodes just for signs; Catalyst analysis cost scales
+    with node count)."""
+    signs = F.lit([_plane_sign_py(seed, plane, i)
+                   for i in range(dims)]).cast("array<bigint>")
     proj = F.aggregate(
         F.zip_with(qv, signs, lambda x, s: x * s),
         F.lit(0).cast("bigint"),
@@ -146,34 +146,93 @@ def hyperplane_buckets(embeddings: DataFrame, planes: int = 8,
                              F.col(vec_col))
 
 
+def _bands_udf(bands: int, planes_per_band: int, dims: int, seed: int,
+               q: int):
+    """Arrow-vectorized bucketizer: ALL band signatures for a batch of
+    vectors in one int64 matmul. The JVM alternative (one
+    zip_with+aggregate per plane) runs INTERPRETED — Spark does not
+    codegen higher-order functions — at ~45 µs per plane-projection:
+    measured 4.4 s for 2000 rows × 48 planes, vs milliseconds here.
+    Arithmetic parity with the expression path and the DuckDB oracles:
+    float32→float64 is exact, round-half-away-from-zero quantization
+    (np.rint would round half-to-even — NOT the same as Spark/DuckDB
+    round()), exact int64 projections, sign at >= 0."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    signs = np.array([[_plane_sign_py(seed, p, i) for i in range(dims)]
+                      for p in range(bands * planes_per_band)],
+                     dtype=np.int64)
+
+    @F.pandas_udf(T.ArrayType(T.StringType()))
+    def bucketize(vecs):
+        vals = vecs.tolist()
+        out = [None] * len(vals)
+        idx = [i for i, v in enumerate(vals) if v is not None]
+        if not idx:
+            return pd.Series(out)
+        for i in idx:
+            if len(vals[i]) != dims:
+                raise ValueError(
+                    f"hyperplane_bands: embedding dim != {dims} "
+                    f"(got dim={len(vals[i])})")
+        m = np.asarray([vals[i] for i in idx], dtype=np.float64) * q
+        quant = np.where(m >= 0, np.floor(m + 0.5),
+                         np.ceil(m - 0.5)).astype(np.int64)
+        bits = (quant @ signs.T) >= 0
+        r = planes_per_band
+        for row_i, i in enumerate(idx):
+            row = bits[row_i]
+            out[i] = ["".join("1" if row[b * r + j] else "0"
+                              for j in range(r)) for b in range(bands)]
+        return pd.Series(out)
+
+    return bucketize
+
+
+def _pair_cosine_udf():
+    """Arrow-vectorized exact cosine for candidate pairs: einsum over the
+    int64-quantized vectors (exact — 64×10⁶ terms stay far under 2^63) and
+    one double division, bit-identical to the expression path / oracles.
+    Replaces an interpreted zip_with+aggregate per candidate pair."""
+    import numpy as np
+    import pandas as pd
+
+    @F.pandas_udf("double")
+    def pair_cosine(av, bv, an, bn):
+        if not len(av):
+            return pd.Series([], dtype="float64")
+        a = np.stack([np.asarray(x, dtype=np.int64) for x in av])
+        b = np.stack([np.asarray(x, dtype=np.int64) for x in bv])
+        dots = np.einsum("ij,ij->i", a, b).astype(np.float64)
+        denom = np.sqrt((an.to_numpy(dtype=np.int64)
+                         * bn.to_numpy(dtype=np.int64)).astype(np.float64))
+        return pd.Series(dots / denom)
+
+    return pair_cosine
+
+
 def hyperplane_bands(embeddings: DataFrame, bands: int = 8,
                      planes_per_band: int = 6, id_col: str = "vec_id",
                      vec_col: str = "embedding", seed: int = 42,
                      q: int = 1000, dims: Optional[int] = None) -> DataFrame:
     """(id, band, bucket) multi-band hyperplane LSH: ``bands`` independent
-    signatures of ``planes_per_band`` bits each, all computed in ONE pass
-    over the corpus (band b uses global plane indices [b·r, (b+1)·r), so a
-    single-band call is bit-compatible with hyperplane_buckets). Used for
-    OR-amplified near-dup search: a pair collides if it agrees on ANY band,
-    lifting recall from (1−θ/π)^r to 1−(1−(1−θ/π)^r)^B."""
+    signatures of ``planes_per_band`` bits each, all computed in ONE
+    Arrow-vectorized matmul pass over the corpus (band b uses global plane
+    indices [b·r, (b+1)·r), so a single-band call is bit-compatible with
+    hyperplane_buckets). Used for OR-amplified near-dup search: a pair
+    collides if it agrees on ANY band, lifting recall from (1−θ/π)^r to
+    1−(1−(1−θ/π)^r)^B. A ragged vector fails the job loudly; an empty
+    table returns an empty result lazily."""
     dims = _resolve_dims(embeddings, vec_col, dims)
     if dims is None:
         return embeddings.where(F.lit(False)).select(
             F.col(id_col), F.lit(0).alias("band"), F.lit("").alias("bucket"))
-    qv = quantize(F.col(vec_col), q)
-    entries = []
-    for b in range(bands):
-        bits = [_plane_bit(qv, dims, b * planes_per_band + p, seed)
-                for p in range(planes_per_band)]
-        entries.append(F.struct(F.lit(b).alias("band"),
-                                F.concat(*bits).alias("bucket")))
-    banded = F.when(
-        _dim_guard(F.col(vec_col), dims, F.col(id_col), "hyperplane_bands"),
-        F.array(*entries))
+    bucketize = _bands_udf(bands, planes_per_band, dims, seed, q)
     return (embeddings
-            .select(F.col(id_col), F.explode(banded).alias("bb"))
-            .select(id_col, F.col("bb.band").alias("band"),
-                    F.col("bb.bucket").alias("bucket")))
+            .select(F.col(id_col), bucketize(F.col(vec_col)).alias("bks"))
+            .select(id_col, F.posexplode("bks").alias("band", "bucket")))
 
 
 def lsh_topk(embeddings: DataFrame, k: int = 5, planes: int = 8,
@@ -212,14 +271,12 @@ def lsh_topk(embeddings: DataFrame, k: int = 5, planes: int = 8,
     # compute-heavy — pinning the partition count spreads the scoring, and
     # the top-k window reuses the same partitioning (sort only, no shuffle)
     n_part = embeddings.sparkSession.sparkContext.defaultParallelism
+    pc = _pair_cosine_udf()
     cand = (
         pairs.join(qs, "query_id").join(ns, "neighbor_id")
         .repartition(n_part, F.col("query_id"))
-        .withColumn(
-            "cosine",
-            _dot(F.col("qv"), F.col("nv")).cast("double")
-            / F.sqrt((F.col("qq") * F.col("nn")).cast("double")),
-        )
+        .withColumn("cosine", pc(F.col("qv"), F.col("nv"),
+                                 F.col("qq"), F.col("nn")))
     )
     from pyspark.sql import Window
 
@@ -260,10 +317,10 @@ def ivf_assignments(embeddings: DataFrame, n_centroids: int = 16,
            .withColumn("cid", F.row_number().over(Window.orderBy("r", id_col)))
            .select("cid", F.col("qv").alias("cv"), F.col("nrm").alias("cn")))
 
+    pc = _pair_cosine_udf()
     scored = (base.crossJoin(F.broadcast(cen))
-              .withColumn("ccos",
-                          _dot(F.col("qv"), F.col("cv")).cast("double")
-                          / F.sqrt((F.col("nrm") * F.col("cn")).cast("double"))))
+              .withColumn("ccos", pc(F.col("qv"), F.col("cv"),
+                                     F.col("nrm"), F.col("cn"))))
     assign = (scored.groupBy(id_col)
               .agg(F.max_by(F.col("cid"),
                             F.struct(F.col("ccos"), -F.col("cid"))).alias("cid"),
@@ -308,11 +365,11 @@ def ivf_topk(embeddings: DataFrame, k: int = 5, n_centroids: int = 16,
     pairs = (probes.join(members, "cid")
              .where(F.col("query_id") != F.col("neighbor_id"))
              .select("query_id", "neighbor_id").distinct())
+    pc = _pair_cosine_udf()
     cand = (pairs.join(nbrs, "neighbor_id").join(queries, "query_id")
             .repartition(n_part, F.col("query_id"))
-            .withColumn("cosine",
-                        _dot(F.col("Qv"), F.col("nv")).cast("double")
-                        / F.sqrt((F.col("Qn") * F.col("nn")).cast("double"))))
+            .withColumn("cosine", pc(F.col("Qv"), F.col("nv"),
+                                     F.col("Qn"), F.col("nn"))))
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id"))
     return (cand.withColumn("rank", F.row_number().over(w))
@@ -367,10 +424,10 @@ def embedding_near_dups(embeddings: DataFrame, threshold: float = 0.9,
     b = vecs.select(F.col(id_col).alias("id_b"), F.col("_qv").alias("bv"),
                     F.col("_nrm").alias("bn"))
     n_part = embeddings.sparkSession.sparkContext.defaultParallelism
+    pc = _pair_cosine_udf()
     return (pairs.join(a, "id_a").join(b, "id_b")
             .repartition(n_part, F.col("id_a"))
-            .withColumn("cosine",
-                        _dot(F.col("av"), F.col("bv")).cast("double")
-                        / F.sqrt((F.col("an") * F.col("bn")).cast("double")))
+            .withColumn("cosine", pc(F.col("av"), F.col("bv"),
+                                     F.col("an"), F.col("bn")))
             .where(F.col("cosine") >= threshold)
             .select("id_a", "id_b", "cosine"))
