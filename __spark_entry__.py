@@ -497,6 +497,31 @@ def q_ivf_topk(spark, sf_dir):
                       F.round("cosine", 6).alias("cosine_r6"))
 
 
+def q_token_heavy_hitters(spark, sf_dir):
+    """Top-25 most frequent BPE pre-tokens corpus-wide: explode + hash
+    groupBy (map-side partial combine compresses per-partition counts, so
+    the shuffle carries one row per distinct token per partition) +
+    TakeOrdered top-k. Deterministic tie-break: count DESC, token ASC."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(F.explode(text_ops.bpe_tokens(F.col("text"))).alias("token"))
+    return (toks.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+            .orderBy(F.col("n").desc(), F.col("token"))
+            .limit(25))
+
+
+def q_quantity_quantiles(spark, sf_dir):
+    """Exact quartiles of l_quantity per returnflag: Spark's exact
+    percentile (sort-based, linear interpolation) vs DuckDB quantile_cont.
+    Rounded to 6 decimals — the interpolation arithmetic is the same
+    formula but not guaranteed bit-identical across engines."""
+    li = _t(spark, sf_dir, "lineitem")
+    pct = F.percentile(F.col("l_quantity"), F.lit([0.25, 0.5, 0.75]))
+    return (li.groupBy("l_returnflag")
+            .agg(F.round(pct[0], 6).alias("q25_r6"),
+                 F.round(pct[1], 6).alias("q50_r6"),
+                 F.round(pct[2], 6).alias("q75_r6")))
+
+
 def q_duplicate_clusters(spark, sf_dir):
     """Near-dup PAIRS → dedup GROUPS: hash-min label-propagation connected
     components over the jaccard pair edges; cluster_id = component min id
@@ -660,6 +685,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "drift_events_tdigest": q_drift_events_tdigest,
         "duplicate_clusters": q_duplicate_clusters,
         "asof_click_before_purchase": q_asof_click_before_purchase,
+        "token_heavy_hitters": q_token_heavy_hitters,
+        "quantity_quantiles": q_quantity_quantiles,
         "deep_validate_props": q_deep_validate_props,
         "detect_mode": q_detect_mode,
     }
@@ -1269,6 +1296,20 @@ def oracle_sql() -> dict[str, str]:
                    (CAST(json_extract_string(props, '$.k') AS BIGINT) % 4)
                        NOT IN (1, 2) AS is_valid
             FROM (SELECT * FROM events ORDER BY event_id LIMIT 500)
+        """,
+        "token_heavy_hitters": (
+            "WITH toks AS (SELECT unnest(regexp_extract_all(text, '"
+            + text_ops.BPE_SPLIT_PATTERN.replace("'", "''")
+            + "')) AS token FROM documents) "
+            "SELECT token, count(*) AS n FROM toks GROUP BY token "
+            "ORDER BY n DESC, token LIMIT 25"
+        ),
+        "quantity_quantiles": """
+            SELECT l_returnflag,
+                   round(quantile_cont(l_quantity, 0.25), 6) AS q25_r6,
+                   round(quantile_cont(l_quantity, 0.5), 6) AS q50_r6,
+                   round(quantile_cont(l_quantity, 0.75), 6) AS q75_r6
+            FROM lineitem GROUP BY l_returnflag
         """,
         "duplicate_clusters": f"""
             WITH RECURSIVE {_SHINGLES_CTE},

@@ -106,3 +106,46 @@ def test_streaming_deep_matches_batch(spark, tmp_path):
         assert sorted((e["error_type"], e["path"]) for e in got[i]["violations"]) == \
                sorted((e["error_type"], e["path"]) for e in want[i]["violations"]), i
     assert not got[1]["is_valid"] and got[1]["violations"][0]["path"] == "#/next/next/v"
+
+
+def test_streaming_dedup_matches_batch(spark, tmp_path):
+    """dedup_stream_global over a file stream == batch dedup_exact on the
+    same corpus (set of surviving fingerprints); dedup_stream (watermarked)
+    emits each fingerprint at most once per micro-batch horizon."""
+    from json_schema_spark.pipeline.dedup import dedup_exact
+    from json_schema_spark.pipeline.text import fingerprint
+    from json_schema_spark.streaming.dedup_stream import (dedup_stream,
+                                                          dedup_stream_global)
+
+    path = str(tmp_path / "dup_docs")
+    docs = spark.createDataFrame(
+        [(i, f"document body {i % 40}") for i in range(200)],
+        "doc_id bigint, text string",
+    ).withColumn("ts", F.timestamp_seconds(F.lit(1_700_000_000) + F.col("doc_id")))
+    docs.repartition(4).write.parquet(path)
+    static = spark.read.parquet(path)
+
+    stream = spark.readStream.schema(static.schema).parquet(path)
+    q = (dedup_stream_global(stream)
+         .writeStream.format("memory").queryName("dedup_g")
+         .outputMode("append").start())
+    q2 = (dedup_stream(stream, watermark="1 hour")
+          .writeStream.format("memory").queryName("dedup_w")
+          .outputMode("append").start())
+    try:
+        q.processAllAvailable()
+        q2.processAllAvailable()
+        got = spark.sql("SELECT text FROM dedup_g")
+        # 40 distinct bodies -> exactly 40 survivors, same fingerprint SET
+        # as the batch path (first-seen id differs: arrival vs min-id order)
+        assert got.count() == 40
+        batch = dedup_exact(static, "text", "doc_id")
+        sfp = {r[0] for r in got.select(fingerprint(F.col("text"))).collect()}
+        bfp = {r[0] for r in batch.select(fingerprint(F.col("text"))).collect()}
+        assert sfp == bfp
+        # watermarked variant: at most one emission per fingerprint here
+        # (single-horizon corpus), never more than the distinct count
+        assert spark.sql("SELECT count(*) FROM dedup_w").collect()[0][0] == 40
+    finally:
+        q.stop()
+        q2.stop()
