@@ -497,6 +497,33 @@ def q_ivf_topk(spark, sf_dir):
                       F.round("cosine", 6).alias("cosine_r6"))
 
 
+_PII_PLANT = (" contact bob.smith+x@example.com or 10.0.0.1 "
+              "or +1 (415) 555-0100")
+
+
+def q_pii_redaction(spark, sf_dir):
+    """PII scrub (emails / IPv4s / phone numbers → typed placeholders) —
+    pure regexp_replace chain, RE2-portable patterns applied in the same
+    order by the DuckDB oracle. Deterministically planted PII (docs with
+    doc_id % 50 == 11 get a contact-info suffix) keeps the oracle
+    non-vacuous: the synthetic corpus contains no natural PII."""
+    d = _t(spark, sf_dir, "documents")
+    planted = F.when(F.col("doc_id") % 50 == 11,
+                     F.concat(F.col("text"), F.lit(_PII_PLANT))) \
+        .otherwise(F.col("text"))
+    clean = text_ops.redact_pii(planted)
+    return (d.select("doc_id", planted.alias("__t"), clean.alias("clean_text"))
+            .where(F.col("__t") != F.col("clean_text"))
+            .select("doc_id", "clean_text"))
+
+
+def q_doc_chunks(spark, sf_dir):
+    """Overlapping token-window chunking (32-token chunks, 8 overlap) —
+    fixed-context training-sample prep, row-local, shuffle-free."""
+    d = _t(spark, sf_dir, "documents")
+    return text_ops.chunk_documents(d, chunk_tokens=32, overlap=8)
+
+
 def q_token_heavy_hitters(spark, sf_dir):
     """Top-25 most frequent BPE pre-tokens corpus-wide: explode + hash
     groupBy (map-side partial combine compresses per-partition counts, so
@@ -687,6 +714,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_click_before_purchase": q_asof_click_before_purchase,
         "token_heavy_hitters": q_token_heavy_hitters,
         "quantity_quantiles": q_quantity_quantiles,
+        "pii_redaction": q_pii_redaction,
+        "doc_chunks": q_doc_chunks,
         "deep_validate_props": q_deep_validate_props,
         "detect_mode": q_detect_mode,
     }
@@ -1296,6 +1325,40 @@ def oracle_sql() -> dict[str, str]:
                    (CAST(json_extract_string(props, '$.k') AS BIGINT) % 4)
                        NOT IN (1, 2) AS is_valid
             FROM (SELECT * FROM events ORDER BY event_id LIMIT 500)
+        """,
+        "pii_redaction": f"""
+            WITH p AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 50 = 11
+                            THEN text || '{_PII_PLANT}'
+                            ELSE text END AS t
+                FROM documents
+            ),
+            r AS (
+                SELECT doc_id, t,
+                       regexp_replace(
+                           regexp_replace(
+                               regexp_replace(t,
+                                   '{text_ops.PII_EMAIL}', '<EMAIL>', 'g'),
+                               '{text_ops.PII_IPV4}', '<IP>', 'g'),
+                           '{text_ops.PII_PHONE}', '<PHONE>', 'g') AS clean_text
+                FROM p
+            )
+            SELECT doc_id, clean_text FROM r WHERE t <> clean_text
+        """,
+        "doc_chunks": f"""
+            WITH toks AS (SELECT doc_id, {_TOKENS} AS l FROM documents),
+            base AS (
+                SELECT doc_id, l, len(l) AS n,
+                       CASE WHEN len(l) <= 32 THEN 1
+                            ELSE 1 + (len(l) - 32 + 23) // 24 END AS n_chunks
+                FROM toks
+            )
+            SELECT doc_id, i AS chunk_idx,
+                   array_to_string(l[i * 24 + 1 : i * 24 + 32], ' ') AS chunk_text,
+                   least(32, n - i * 24) AS n_tokens
+            FROM base, LATERAL (
+                SELECT unnest(generate_series(0, n_chunks - 1)) AS i) ii
         """,
         "token_heavy_hitters": (
             "WITH toks AS (SELECT unnest(regexp_extract_all(text, '"

@@ -112,6 +112,63 @@ def bpe_token_count(col: Column) -> Column:
     return F.size(bpe_tokens(col))
 
 
+def chunk_documents(df: DataFrame, chunk_tokens: int = 128,
+                    overlap: int = 16, text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """(id, chunk_idx, chunk_text, n_tokens): overlapping token-window
+    chunks — the standard prep for fixed-context training samples. Chunk i
+    starts at token i·(chunk−overlap); the last chunk may be shorter.
+    Pure Catalyst (sequence + slice + explode), one row-local fan-out, no
+    shuffle: at 100 TB this pipelines inside the scan stage. The chunk
+    count uses exact integer ceil ((n−chunk+s−1) div s, s = chunk−overlap)
+    so the DuckDB oracle reproduces boundaries bit-for-bit."""
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    stride = chunk_tokens - overlap
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    # integer ceil via floor-div: Spark's `/` on ints yields double, so
+    # floor() restores exact integer semantics the oracle mirrors with `//`
+    n_chunks = F.when(
+        n <= chunk_tokens, F.lit(1)
+    ).otherwise(
+        (F.lit(1) + F.floor((n - chunk_tokens + stride - 1) / F.lit(stride))).cast("int")
+    )
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.struct(
+            i.alias("chunk_idx"),
+            F.array_join(F.slice(toks, i * stride + 1, chunk_tokens), " ")
+            .alias("chunk_text"),
+            F.least(F.lit(chunk_tokens), n - i * stride).alias("n_tokens"),
+        ),
+    )
+    return (df.select(F.col(id_col), F.explode(chunks).alias("c"))
+            .select(id_col, F.col("c.chunk_idx").alias("chunk_idx"),
+                    F.col("c.chunk_text").alias("chunk_text"),
+                    F.col("c.n_tokens").alias("n_tokens")))
+
+
+# PII patterns, RE2-compatible (no lookaround) so the identical literals
+# run in DuckDB for the oracle. Redaction order matters (emails contain
+# dots that the IP pattern must not see first): email → ip → phone.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4 = r"\b((25[0-5]|2[0-4][0-9]|1?[0-9]{1,2})\.){3}(25[0-5]|2[0-4][0-9]|1?[0-9]{1,2})\b"
+PII_PHONE = r"\+[0-9][0-9 ().-]{7,}[0-9]"
+
+
+def redact_pii(col: Column) -> Column:
+    """Replace emails / IPv4s / international-format phone numbers with
+    typed placeholders — the minimum-viable PII scrub for web-scale
+    training text. Pure Catalyst regexp_replace chain (codegen, no UDF);
+    patterns are RE2-portable so the DuckDB oracle applies the identical
+    literals in the identical order."""
+    out = F.regexp_replace(col, PII_EMAIL, "<EMAIL>")
+    out = F.regexp_replace(out, PII_IPV4, "<IP>")
+    out = F.regexp_replace(out, PII_PHONE, "<PHONE>")
+    return out
+
+
 _KR_P = 2_147_483_647  # 2^31 - 1
 _KR_B = 257
 
