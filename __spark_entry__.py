@@ -792,12 +792,15 @@ def _lsh_topk_oracle(planes: int = 6, seed: int = 42, k: int = 5,
         + sign.format(seed=seed, p=p) + f")) AS s{p}"
         for p in range(bands * planes)
     )
+    # integer bucket = the band's sign-bit row read as binary (bit j of
+    # band b weighs 2^(planes-1-j)) — mirrors similarity._bands_udf
     band_rows = ",\n                ".join(
-        "({b}, concat({bits}))".format(
+        "({b}, {bits})".format(
             b=b,
-            bits=", ".join(
-                f"CASE WHEN s{b * planes + r} >= 0 THEN '1' ELSE '0' END"
-                for r in range(planes)))
+            bits=" + ".join(
+                f"CASE WHEN s{b * planes + j} >= 0 "
+                f"THEN {1 << (planes - 1 - j)} ELSE 0 END"
+                for j in range(planes)))
         for b in range(bands)
     )
     return f"""
@@ -859,11 +862,12 @@ def _lsh_near_dup_oracle(bands: int = 8, planes_per_band: int = 6,
         for p in range(bands * planes_per_band)
     )
     band_rows = ",\n                ".join(
-        "({b}, concat({bits}))".format(
+        "({b}, {bits})".format(
             b=b,
-            bits=", ".join(
-                f"CASE WHEN s{b * planes_per_band + r} >= 0 THEN '1' ELSE '0' END"
-                for r in range(planes_per_band)))
+            bits=" + ".join(
+                f"CASE WHEN s{b * planes_per_band + j} >= 0 "
+                f"THEN {1 << (planes_per_band - 1 - j)} ELSE 0 END"
+                for j in range(planes_per_band)))
         for b in range(bands)
     )
     return f"""

@@ -165,7 +165,15 @@ def _bands_udf(bands: int, planes_per_band: int, dims: int, seed: int,
                       for p in range(bands * planes_per_band)],
                      dtype=np.int64)
 
-    @F.pandas_udf(T.ArrayType(T.StringType()))
+    # bucket id = the band's bit row read as a binary number, bit for
+    # global plane b·r+j weighted 2^(r-1-j) — the integer reading of the
+    # round-2 '1'/'0' string left-to-right. Integer buckets keep the whole
+    # batch vectorized (matmul + .tolist(), no per-row Python string
+    # assembly) and join/shuffle as fixed-width longs instead of strings.
+    r = planes_per_band
+    powers = (2 ** np.arange(r - 1, -1, -1)).astype(np.int64)
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
     def bucketize(vecs):
         vals = vecs.tolist()
         out = [None] * len(vals)
@@ -180,12 +188,11 @@ def _bands_udf(bands: int, planes_per_band: int, dims: int, seed: int,
         m = np.asarray([vals[i] for i in idx], dtype=np.float64) * q
         quant = np.where(m >= 0, np.floor(m + 0.5),
                          np.ceil(m - 0.5)).astype(np.int64)
-        bits = (quant @ signs.T) >= 0
-        r = planes_per_band
+        bits = ((quant @ signs.T) >= 0).astype(np.int64)  # (n, bands·r)
+        per_band = bits.reshape(len(idx), bands, r) @ powers  # (n, bands)
+        lists = per_band.tolist()
         for row_i, i in enumerate(idx):
-            row = bits[row_i]
-            out[i] = ["".join("1" if row[b * r + j] else "0"
-                              for j in range(r)) for b in range(bands)]
+            out[i] = lists[row_i]
         return pd.Series(out)
 
     return bucketize
@@ -228,7 +235,8 @@ def hyperplane_bands(embeddings: DataFrame, bands: int = 8,
     dims = _resolve_dims(embeddings, vec_col, dims)
     if dims is None:
         return embeddings.where(F.lit(False)).select(
-            F.col(id_col), F.lit(0).alias("band"), F.lit("").alias("bucket"))
+            F.col(id_col), F.lit(0).alias("band"),
+            F.lit(0).cast("bigint").alias("bucket"))
     bucketize = _bands_udf(bands, planes_per_band, dims, seed, q)
     return (embeddings
             .select(F.col(id_col), bucketize(F.col(vec_col)).alias("bks"))
