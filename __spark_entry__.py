@@ -497,6 +497,18 @@ def q_ivf_topk(spark, sf_dir):
                       F.round("cosine", 6).alias("cosine_r6"))
 
 
+def q_train_val_split(spark, sf_dir):
+    """Deterministic hash-based train/val/test assignment (reproducible
+    corpus splits — stable across runs/partitionings/engines, which
+    df.sample() is not). Output: per-(split, lang) counts."""
+    from json_schema_spark.pipeline import sampling
+
+    d = _t(spark, sf_dir, "documents")
+    out = sampling.hash_split(d, {"train": 0.8, "val": 0.1, "test": 0.1})
+    return (out.groupBy("split", "lang")
+            .agg(F.count(F.lit(1)).alias("n")))
+
+
 _PII_PLANT = (" contact bob.smith+x@example.com or 10.0.0.1 "
               "or +1 (415) 555-0100")
 
@@ -716,6 +728,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantity_quantiles": q_quantity_quantiles,
         "pii_redaction": q_pii_redaction,
         "doc_chunks": q_doc_chunks,
+        "train_val_split": q_train_val_split,
         "deep_validate_props": q_deep_validate_props,
         "detect_mode": q_detect_mode,
     }
@@ -1329,6 +1342,20 @@ def oracle_sql() -> dict[str, str]:
                    (CAST(json_extract_string(props, '$.k') AS BIGINT) % 4)
                        NOT IN (1, 2) AS is_valid
             FROM (SELECT * FROM events ORDER BY event_id LIMIT 500)
+        """,
+        "train_val_split": """
+            WITH b AS (
+                SELECT doc_id, lang,
+                       CAST(concat('0x', substr(md5(concat('split_42_',
+                           CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT)
+                           % 10000 AS bucket
+                FROM documents
+            )
+            SELECT CASE WHEN bucket < 8000 THEN 'train'
+                        WHEN bucket < 9000 THEN 'val'
+                        ELSE 'test' END AS split,
+                   lang, count(*) AS n
+            FROM b GROUP BY 1, 2
         """,
         "pii_redaction": f"""
             WITH p AS (

@@ -1,0 +1,57 @@
+"""Deterministic sampling and dataset splitting.
+
+Training pipelines need REPRODUCIBLE corpus splits: the same document must
+land in the same split on every run, on any cluster size, after any
+repartition — properties ``df.sample()``/``sampleBy()`` (seeded per
+partition) do not have. Hash-based assignment gives them for free: bucket
+= md5(seed, id) mod 10_000, split = cumulative-range lookup. md5 keeps it
+engine-portable (the DuckDB oracle reproduces assignments bit-for-bit)
+and row-local (no shuffle, pipelines inside the scan)."""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from .dedup import md5_int
+
+_BUCKETS = 10_000
+
+
+def hash_bucket(id_col: Column, seed: int = 42) -> Column:
+    """Deterministic bucket in [0, 10000) from the md5 of (seed, id)."""
+    return F.pmod(
+        md5_int(F.concat(F.lit(f"split_{seed}_"), id_col.cast("string"))),
+        F.lit(_BUCKETS))
+
+
+def hash_sample(df: DataFrame, fraction: float, id_col: str = "doc_id",
+                seed: int = 42) -> DataFrame:
+    """Reproducible ~``fraction`` sample: keeps rows whose hash bucket
+    falls below fraction·10000. Unlike df.sample(), membership is a pure
+    function of the id — stable across runs, partitionings, and engines."""
+    cut = int(round(fraction * _BUCKETS))
+    return df.where(hash_bucket(F.col(id_col), seed) < cut)
+
+
+def hash_split(df: DataFrame, splits: Optional[Dict[str, float]] = None,
+               id_col: str = "doc_id", seed: int = 42,
+               split_col: str = "split") -> DataFrame:
+    """Append a deterministic split label ('train'/'val'/'test' by
+    default). Split fractions must sum to 1; assignment is by cumulative
+    bucket ranges in the given dict order."""
+    splits = splits or {"train": 0.9, "val": 0.05, "test": 0.05}
+    total = sum(splits.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split fractions must sum to 1, got {total}")
+    bucket = hash_bucket(F.col(id_col), seed)
+    expr = None
+    cum = 0
+    for name, frac in splits.items():
+        cum += int(round(frac * _BUCKETS))
+        cond = bucket < cum
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    # rounding can leave bucket 9999 past the last cumulative cut
+    last = list(splits.keys())[-1]
+    return df.withColumn(split_col, expr.otherwise(F.lit(last)))

@@ -78,3 +78,27 @@ def test_duplicate_clusters_long_chain_converges(spark):
 def test_duplicate_clusters_empty(spark):
     pairs = spark.createDataFrame([], "id_a bigint, id_b bigint")
     assert dedup.duplicate_clusters(pairs).count() == 0
+
+
+def test_hash_split_reproducible_and_partition_invariant(spark):
+    from json_schema_spark.pipeline import sampling
+
+    df = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    a = {(r.doc_id, r.split) for r in sampling.hash_split(df).collect()}
+    b = {(r.doc_id, r.split)
+         for r in sampling.hash_split(df.repartition(13)).collect()}
+    assert a == b
+    from collections import Counter
+    frac = Counter(s for _, s in a)
+    assert 0.85 <= frac["train"] / 2000 <= 0.95
+    assert frac["train"] + frac["val"] + frac["test"] == 2000
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="sum to 1"):
+        sampling.hash_split(df, {"train": 0.5, "val": 0.1})
+
+    s1 = {r.doc_id for r in sampling.hash_sample(df, 0.25).collect()}
+    s2 = {r.doc_id for r in
+          sampling.hash_sample(df.repartition(7), 0.25).collect()}
+    assert s1 == s2
+    assert 0.2 <= len(s1) / 2000 <= 0.3
