@@ -1,3 +1,3 @@
-from . import dedup, similarity, text
+from . import cache, dedup, similarity, text
 
-__all__ = ["dedup", "similarity", "text"]
+__all__ = ["cache", "dedup", "similarity", "text"]

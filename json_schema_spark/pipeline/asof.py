@@ -9,10 +9,18 @@ instead:
 
 1. tag left rows side=1, right rows side=0, union on the join keys;
 2. one window over ``partitionBy(keys).orderBy(ts, side)`` carries the
-   most recent right-side values forward (``last(..., ignorenulls=True)``
-   with an unbounded-preceding frame — rank-based running state, no
-   fan-out);
-3. keep the left rows.
+   most recent right ROW forward (``last(..., ignorenulls=True)`` of ONE
+   struct holding all right value columns, with an unbounded-preceding
+   frame — rank-based running state, no fan-out);
+3. keep the left rows and project the struct's fields.
+
+The carry is row-level on purpose: a per-column ``last(ignorenulls)``
+cannot tell a left-row filler NULL from a genuine NULL inside a right
+row — it would reach past the matched row and resurrect an older value
+(and with several value columns, mix values from different right rows).
+Wrapping the whole right row in a struct makes the filler NULL the only
+NULL the carry ever skips; a matched row's NULL fields stay NULL, exactly
+matching DuckDB's ASOF LEFT JOIN (ADVICE r3, medium).
 
 Cost: ONE shuffle on the join keys (the window sort), zero join fan-out —
 the same shape as a sessionization window, so it scales to arbitrarily
@@ -44,7 +52,10 @@ def asof_join(left: DataFrame, right: DataFrame,
     keys = [on] if isinstance(on, str) else list(on)
     rvals = right_value_cols or [c for c in right.columns
                                  if c not in keys and c != ts]
+    if not rvals:
+        return left
     rtypes = {f.name: f.dataType for f in right.schema.fields}
+    rrow_type = T.StructType([T.StructField(c, rtypes[c]) for c in rvals])
     lrow_type = T.StructType(left.schema.fields)
 
     lpart = left.select(
@@ -52,24 +63,22 @@ def asof_join(left: DataFrame, right: DataFrame,
         F.col(ts).alias("__ts"),
         F.lit(1).alias("__side"),
         F.struct(*[F.col(c) for c in left.columns]).alias("__lrow"),
-        *[F.lit(None).cast(rtypes[c]).alias(f"__r_{c}") for c in rvals],
+        F.lit(None).cast(rrow_type).alias("__rrow"),
     )
     rpart = right.select(
         *[F.col(k) for k in keys],
         F.col(ts).alias("__ts"),
         F.lit(0).alias("__side"),
         F.lit(None).cast(lrow_type).alias("__lrow"),
-        *[F.col(c).alias(f"__r_{c}") for c in rvals],
+        F.struct(*[F.col(c) for c in rvals]).alias("__rrow"),
     )
     from pyspark.sql import Window
 
     w = (Window.partitionBy(*keys).orderBy("__ts", "__side")
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     u = lpart.unionByName(rpart)
-    carried = u.withColumns({
-        f"__v_{c}": F.last(F.col(f"__r_{c}"), ignorenulls=True).over(w)
-        for c in rvals
-    })
+    carried = u.withColumn(
+        "__vrow", F.last(F.col("__rrow"), ignorenulls=True).over(w))
     return (carried.where(F.col("__side") == 1)
             .select(F.col("__lrow.*"),
-                    *[F.col(f"__v_{c}").alias(c + suffix) for c in rvals]))
+                    *[F.col(f"__vrow.{c}").alias(c + suffix) for c in rvals]))

@@ -21,6 +21,8 @@ from typing import List, Optional
 
 from pyspark.sql import DataFrame, functions as F
 
+from . import cache
+
 
 def quantize(col: F.Column, q: int = 1000) -> F.Column:
     """array<float> → array<bigint> with round(x·q)."""
@@ -83,26 +85,34 @@ def _resolve_dims(embeddings: DataFrame, vec_col: str,
     """Embedding dimensionality: the caller-declared ``dims`` if given, else
     inferred from one row (one tiny driver round-trip at plan-build — the
     sign constants must be folded before the plan exists). Returns None for
-    an empty table so callers can stay lazily empty-safe instead of raising
-    (ADVICE r2)."""
+    an empty / all-NULL table so callers can stay lazily empty-safe instead
+    of raising (ADVICE r2). NULL rows are skipped during inference — a
+    leading NULL embedding must not make a populated table look empty."""
     if dims is not None:
         return dims
-    head = embeddings.select(vec_col).first()
+    head = (embeddings.select(vec_col)
+            .where(F.col(vec_col).isNotNull()).first())
     if head is None or head[0] is None:
         return None
     return len(head[0])
 
 
 def _dim_guard(vec: F.Column, dims: int, id_col: F.Column, op: str) -> F.Column:
-    """TRUE iff the vector has the expected dimensionality; any ragged row
-    aborts the job loudly instead of silently mis-projecting against a
-    fixed-length signs array (ADVICE r2: a short zip_with yields null terms
-    that collapse the projection to bit 0 — wrong buckets, no error)."""
-    return F.when(F.size(vec) == dims, F.lit(True)).otherwise(
-        F.raise_error(F.concat(
-            F.lit(f"{op}: embedding dim != {dims} for id="),
-            id_col.cast("string"), F.lit(" (got dim="),
-            F.size(vec).cast("string"), F.lit(")"))).cast("boolean"))
+    """TRUE iff the vector has the expected dimensionality; NULL for a NULL
+    vector (so the bucket comes out NULL — the same treatment the Arrow
+    ``_bands_udf`` path gives NULL embeddings; ADVICE r3: under ANSI,
+    ``size(NULL)`` is NULL, which previously fell through to the error
+    branch and aborted the job while the sibling path silently skipped).
+    Any RAGGED row still aborts loudly instead of silently mis-projecting
+    against a fixed-length signs array (ADVICE r2: a short zip_with yields
+    null terms that collapse the projection to bit 0 — wrong buckets, no
+    error)."""
+    return (F.when(vec.isNull(), F.lit(None).cast("boolean"))
+            .when(F.size(vec) == dims, F.lit(True))
+            .otherwise(F.raise_error(F.concat(
+                F.lit(f"{op}: embedding dim != {dims} for id="),
+                id_col.cast("string"), F.lit(" (got dim="),
+                F.size(vec).cast("string"), F.lit(")"))).cast("boolean")))
 
 
 def _plane_bit(qv: F.Column, dims: int, plane: int, seed: int) -> F.Column:
@@ -202,20 +212,43 @@ def _pair_cosine_udf():
     """Arrow-vectorized exact cosine for candidate pairs: einsum over the
     int64-quantized vectors (exact — 64×10⁶ terms stay far under 2^63) and
     one double division, bit-identical to the expression path / oracles.
-    Replaces an interpreted zip_with+aggregate per candidate pair."""
+    Replaces an interpreted zip_with+aggregate per candidate pair.
+
+    NULL embeddings yield a NULL cosine (ADVICE r3: np.asarray(None)
+    crashed the batch with an opaque TypeError in the cosine_topk/ivf_topk
+    paths, where candidates don't pass through the bands pre-filter —
+    matching the pre-Arrow expression path and the DuckDB oracle, whose
+    dot products are NULL-propagating)."""
     import numpy as np
     import pandas as pd
 
     @F.pandas_udf("double")
     def pair_cosine(av, bv, an, bn):
-        if not len(av):
+        n_rows = len(av)
+        if not n_rows:
             return pd.Series([], dtype="float64")
-        a = np.stack([np.asarray(x, dtype=np.int64) for x in av])
-        b = np.stack([np.asarray(x, dtype=np.int64) for x in bv])
-        dots = np.einsum("ij,ij->i", a, b).astype(np.float64)
-        denom = np.sqrt((an.to_numpy(dtype=np.int64)
-                         * bn.to_numpy(dtype=np.int64)).astype(np.float64))
-        return pd.Series(dots / denom)
+        avl, bvl = av.tolist(), bv.tolist()
+        # norm columns arrive as float64 when the batch contains NULLs
+        # (Arrow→pandas widening) — values are exact (< 2^53), NULLs are NaN
+        anl, bnl = an.tolist(), bn.tolist()
+        idx = [i for i in range(n_rows)
+               if avl[i] is not None and bvl[i] is not None
+               and not pd.isna(anl[i]) and not pd.isna(bnl[i])]
+        out = [None] * n_rows
+        if idx:
+            a = np.asarray([avl[i] for i in idx], dtype=np.int64)
+            b = np.asarray([bvl[i] for i in idx], dtype=np.int64)
+            dots = np.einsum("ij,ij->i", a, b).astype(np.float64)
+            denom = np.sqrt((np.asarray([anl[i] for i in idx], dtype=np.int64)
+                             * np.asarray([bnl[i] for i in idx],
+                                          dtype=np.int64)).astype(np.float64))
+            cos = dots / denom
+            if len(idx) == n_rows:       # common case: no NULLs, stay float64
+                return pd.Series(cos)
+            vals = cos.tolist()
+            for j, i in enumerate(idx):
+                out[i] = vals[j]
+        return pd.Series(out, dtype=object)
 
     return pair_cosine
 
@@ -246,13 +279,25 @@ def hyperplane_bands(embeddings: DataFrame, bands: int = 8,
 def lsh_topk(embeddings: DataFrame, k: int = 5, planes: int = 8,
              id_col: str = "vec_id", vec_col: str = "embedding",
              q: int = 1000, seed: int = 42, bands: int = 1,
-             dims: Optional[int] = None) -> DataFrame:
+             dims: Optional[int] = None,
+             max_bucket_size: Optional[int] = 5000) -> DataFrame:
     """Approximate top-k: candidates restricted to a shared hyperplane
     bucket in ANY of ``bands`` bands (``planes`` bits each), re-ranked by
     exact quantized cosine. bands=1 is the classic single-signature LSH;
     bands>1 OR-amplifies recall exactly as in embedding_near_dups (per-pair
     candidate probability 1−(1−(1−θ/π)^planes)^bands) at the cost of
-    ``bands``× projection work and candidate-union dedup."""
+    ``bands``× projection work and candidate-union dedup.
+
+    ``max_bucket_size`` (default 5000) drops degenerate (band, bucket)
+    groups before the candidate join (``dedup.cap_bucket_fanout``; logged,
+    never silent) — a boilerplate cluster larger than the cap would cost
+    |bucket|² candidates. Queries whose EVERY band lands in a dropped
+    bucket get fewer (possibly zero) neighbors; raise ``planes`` so bucket
+    granularity outgrows the corpus rather than raising the cap. Persisted
+    intermediates are registered on the result — release with
+    ``cache.release`` after materializing."""
+    from .dedup import cap_bucket_fanout
+
     # banded bucket table feeds both join sides: persist so the projection
     # pass over the corpus runs once; norms are per-VECTOR quantities —
     # computed once per vector (n rows), never per candidate pair
@@ -262,8 +307,11 @@ def lsh_topk(embeddings: DataFrame, k: int = 5, planes: int = 8,
             .persist())
     bb = hyperplane_bands(embeddings, bands, planes, id_col, vec_col,
                           seed, q, dims).persist()
-    left = bb.select(F.col(id_col).alias("query_id"), "band", "bucket")
-    right = bb.select(F.col(id_col).alias("neighbor_id"), "band", "bucket")
+    bb_capped, bcounts = cap_bucket_fanout(bb, ["band", "bucket"],
+                                           max_bucket_size, "lsh_topk")
+    left = bb_capped.select(F.col(id_col).alias("query_id"), "band", "bucket")
+    right = bb_capped.select(F.col(id_col).alias("neighbor_id"),
+                             "band", "bucket")
     # dedup on bare id pairs BEFORE re-attaching vectors (a pair can
     # collide in several bands; distinct over dim-length arrays would
     # shuffle and compare full vectors per candidate)
@@ -290,11 +338,12 @@ def lsh_topk(embeddings: DataFrame, k: int = 5, planes: int = 8,
 
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id"))
-    return (
+    out = (
         cand.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cosine")
     )
+    return cache.register(out, vecs, bb, bcounts)
 
 
 def ivf_assignments(embeddings: DataFrame, n_centroids: int = 16,
@@ -380,16 +429,18 @@ def ivf_topk(embeddings: DataFrame, k: int = 5, n_centroids: int = 16,
                                      F.col("Qn"), F.col("nn"))))
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id"))
-    return (cand.withColumn("rank", F.row_number().over(w))
-            .where(F.col("rank") <= k)
-            .select("query_id", "neighbor_id", "rank", "cosine"))
+    out = (cand.withColumn("rank", F.row_number().over(w))
+           .where(F.col("rank") <= k)
+           .select("query_id", "neighbor_id", "rank", "cosine"))
+    return cache.register(out, scored, assign)
 
 
 def embedding_near_dups(embeddings: DataFrame, threshold: float = 0.9,
                         bands: int = 8, planes_per_band: int = 6,
                         id_col: str = "vec_id", vec_col: str = "embedding",
                         q: int = 1000, seed: int = 42,
-                        dims: Optional[int] = None) -> DataFrame:
+                        dims: Optional[int] = None,
+                        max_bucket_size: Optional[int] = 5000) -> DataFrame:
     """(id_a, id_b, cosine) embedding near-duplicate pairs: OR-amplified
     multi-band hyperplane LSH candidates, exact-filtered at ``threshold``.
 
@@ -409,10 +460,19 @@ def embedding_near_dups(embeddings: DataFrame, threshold: float = 0.9,
     ``planes_per_band`` (bucket count 2^r must outgrow n for bounded
     fan-out) and ``bands`` with it to hold recall.
 
-    Caching contract: persists two intermediates (banded buckets, quantized
-    vectors) scoped to this computation; call
-    ``spark.catalog.clearCache()`` (or unpersist via the returned plan's
-    lineage) after materializing if the session is long-lived."""
+    ``max_bucket_size`` (default 5000) drops degenerate (band, bucket)
+    groups before the candidate join (``dedup.cap_bucket_fanout``; logged,
+    never silent) — a boilerplate cluster larger than the cap would cost
+    |bucket|² candidates per band it dominates. Pairs whose every shared
+    band is oversized are not examined; exact duplicates come back from
+    ``dedup_exact`` far cheaper.
+
+    Caching contract: persisted intermediates (banded buckets, quantized
+    vectors, bucket counts) are registered on the result — call
+    ``cache.release(df)`` after materializing (or ``cache.materialize``)
+    in a long-lived session."""
+    from .dedup import cap_bucket_fanout
+
     vecs = (embeddings
             .select(F.col(id_col),
                     quantize(F.col(vec_col), q).alias("_qv"))
@@ -420,8 +480,11 @@ def embedding_near_dups(embeddings: DataFrame, threshold: float = 0.9,
             .persist())
     bb = hyperplane_bands(embeddings, bands, planes_per_band, id_col,
                           vec_col, seed, q, dims).persist()
-    left = bb.select(F.col(id_col).alias("id_a"), "band", "bucket")
-    right = bb.select(F.col(id_col).alias("id_b"), "band", "bucket")
+    bb_capped, bcounts = cap_bucket_fanout(bb, ["band", "bucket"],
+                                           max_bucket_size,
+                                           "embedding_near_dups")
+    left = bb_capped.select(F.col(id_col).alias("id_a"), "band", "bucket")
+    right = bb_capped.select(F.col(id_col).alias("id_b"), "band", "bucket")
     # OR-amplification = the same pair may collide in several bands;
     # distinct on bare id pairs both dedups that and keeps the shuffle thin
     pairs = (left.join(right, ["band", "bucket"])
@@ -433,9 +496,10 @@ def embedding_near_dups(embeddings: DataFrame, threshold: float = 0.9,
                     F.col("_nrm").alias("bn"))
     n_part = embeddings.sparkSession.sparkContext.defaultParallelism
     pc = _pair_cosine_udf()
-    return (pairs.join(a, "id_a").join(b, "id_b")
-            .repartition(n_part, F.col("id_a"))
-            .withColumn("cosine", pc(F.col("av"), F.col("bv"),
-                                     F.col("an"), F.col("bn")))
-            .where(F.col("cosine") >= threshold)
-            .select("id_a", "id_b", "cosine"))
+    out = (pairs.join(a, "id_a").join(b, "id_b")
+           .repartition(n_part, F.col("id_a"))
+           .withColumn("cosine", pc(F.col("av"), F.col("bv"),
+                                    F.col("an"), F.col("bn")))
+           .where(F.col("cosine") >= threshold)
+           .select("id_a", "id_b", "cosine"))
+    return cache.register(out, vecs, bb, bcounts)

@@ -56,6 +56,33 @@ def test_asof_multi_key_and_multi_value(spark):
     assert (row.v_asof, row.s_asof) == (7.0, "hi")
 
 
+def test_asof_null_right_values_not_resurrected(spark):
+    """Row-level carry semantics (ADVICE r3 medium): when the MATCHED right
+    row holds a NULL value column, the join must emit that NULL — not reach
+    back and resurrect an older row's value — and with several value
+    columns it must never mix values from different right rows."""
+    left = spark.createDataFrame(
+        [(1, "u1", _ts(20)), (2, "u1", _ts(40))],
+        "event_id bigint, user_id string, ts timestamp")
+    right = spark.createDataFrame(
+        [("u1", _ts(10), 1.0, "a"),
+         ("u1", _ts(15), None, "b"),    # matched by event 1: v is genuinely NULL
+         ("u1", _ts(30), 3.0, None)],   # matched by event 2: s is genuinely NULL
+        "user_id string, ts timestamp, v double, s string")
+    got = {r.event_id: (r.v_asof, r.s_asof)
+           for r in asof_join(left, right, on="user_id", ts="ts").collect()}
+    assert got == {1: (None, "b"), 2: (3.0, None)}
+
+
+def test_asof_no_right_value_cols(spark):
+    left = spark.createDataFrame([(1, "u1", _ts(1))],
+                                 "event_id bigint, user_id string, ts timestamp")
+    right = spark.createDataFrame([("u1", _ts(0))],
+                                  "user_id string, ts timestamp")
+    out = asof_join(left, right, on="user_id", ts="ts")
+    assert out.columns == left.columns and out.count() == 1
+
+
 def test_duplicate_clusters_components(spark):
     pairs = spark.createDataFrame(
         [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 23)],
