@@ -83,3 +83,36 @@ def per_partition_stats(df: DataFrame, col: str) -> DataFrame:
             F.approx_count_distinct(col).alias("approx_distinct"),
         )
     )
+
+
+def column_quantiles(df: DataFrame, col: str,
+                     probs=(0.25, 0.5, 0.75),
+                     group_by: Optional[str] = None,
+                     exact: bool = False,
+                     accuracy: int = 10_000) -> DataFrame:
+    """Quantiles of ``col`` (optionally per ``group_by``), one column per
+    probability (``p25``, ``p50``, ...).
+
+    Default path is ``approx_percentile``: Spark's Greenwald-Khanna
+    quantile-summary aggregate keeps a BOUNDED buffer per group
+    (O(accuracy), here ±1/accuracy rank error) with mergeable map-side
+    partials — the only shape that survives a 100-TB column. The
+    deterministic-sketch alternative for drift pipelines is
+    ``checks.tdigest``.
+
+    ``exact=True`` opts into Spark's exact ``percentile``, which buffers
+    EVERY value of a group in the aggregation buffer — sound only when
+    each group is known to be driver-memory bounded (oracle calibration,
+    low-cardinality dimensions; see q_quantity_quantiles). Never use it on
+    an unbounded column: a 10^9-row group is an executor OOM, not a slow
+    query."""
+    plist = list(probs)
+    if exact:
+        pct = F.percentile(F.col(col), F.lit(plist))
+    else:
+        pct = F.approx_percentile(F.col(col), F.lit(plist), F.lit(accuracy))
+    names = [("p%g" % (p * 100)).replace(".", "_") for p in plist]
+    aggs = [pct[i].alias(n) for i, n in enumerate(names)]
+    if group_by is not None:
+        return df.groupBy(group_by).agg(*aggs)
+    return df.agg(*aggs)

@@ -20,13 +20,21 @@ Engine-specific knobs:
 
 from __future__ import annotations
 
-from typing import Callable, Optional
+from types import MappingProxyType
+from typing import Callable, Mapping, Optional
 
 
 class Configuration:
     """``_version`` increments on every attribute assignment (including
     reset/register_format): the engine's compiled-SQL cache keys on it so a
-    config change can never serve stale compiled text."""
+    config change can never serve stale compiled text.
+
+    The format registries are exposed as READ-ONLY mapping views —
+    ``register_format`` is the only mutation path. The natural-looking
+    in-place idiom ``configuration().custom_formats[name] = pred`` would
+    bypass the version bump and let the compile cache serve stale SQL
+    referencing missing format UDFs (ADVICE r3); with the proxy it raises
+    TypeError immediately instead of failing later and silently."""
 
     def __init__(self):
         object.__setattr__(self, "_version", 0)
@@ -39,8 +47,8 @@ class Configuration:
 
     def reset(self) -> None:
         self.validate_regex_with: Optional[str] = None
-        self.custom_formats: dict = {}
-        self.custom_format_columns: dict = {}
+        self._custom_formats: dict = {}
+        self._custom_format_columns: dict = {}
         self.all_of_sub_errors: bool = False
         self.max_unroll_depth: int = 6
         # total dereferenced-$ref nodes allowed on one compile path: caps the
@@ -49,17 +57,26 @@ class Configuration:
         # beyond this many ref hops validate vacuously true
         self.max_ref_depth: int = 16
 
+    @property
+    def custom_formats(self) -> Mapping[str, Callable[[str], bool]]:
+        return MappingProxyType(self._custom_formats)
+
+    @property
+    def custom_format_columns(self) -> Mapping[str, Callable]:
+        return MappingProxyType(self._custom_format_columns)
+
     def register_format(
         self,
         name: str,
         predicate: Callable[[str], bool],
         column_builder: Optional[Callable] = None,
     ) -> None:
-        # reassignment (not in-place mutation) so __setattr__ bumps _version
-        self.custom_formats = {**self.custom_formats, name: predicate}
+        self._custom_formats[name] = predicate
         if column_builder is not None:
-            self.custom_format_columns = {**self.custom_format_columns,
-                                          name: column_builder}
+            self._custom_format_columns[name] = column_builder
+        # in-place dict writes don't pass through __setattr__ — bump
+        # explicitly so the compiled-SQL cache invalidates
+        object.__setattr__(self, "_version", self._version + 1)
 
 
 _configuration = Configuration()

@@ -183,3 +183,30 @@ def test_multiple_of_float_semantics_unchanged(spark):
     assert not out.valid
     out2 = run_case(spark, {"multipleOf": 0.5}, 4.5, definition=None)
     assert out2.valid, out2.messages
+
+
+# --- r3 ADVICE: compile-cache invalidation on format registry mutation ------
+
+
+def test_custom_formats_readonly_and_version_bump():
+    """The natural in-place idiom configuration().custom_formats[n] = f
+    must fail loudly (it would bypass the compile-cache version bump and
+    serve stale compiled SQL); register_format is the mutation path and
+    must bump the version even though it mutates the dict in place."""
+    import pytest
+
+    from json_schema_spark.config import configuration
+
+    cfg = configuration()
+    with pytest.raises(TypeError):
+        cfg.custom_formats["sneaky"] = lambda s: True
+    with pytest.raises(TypeError):
+        cfg.custom_format_columns["sneaky"] = lambda c: c.isNotNull()
+
+    before = cfg._version
+    cfg.register_format("bump_check", lambda s: s == "ok")
+    try:
+        assert cfg._version > before
+        assert "bump_check" in cfg.custom_formats
+    finally:
+        cfg.reset()

@@ -89,3 +89,14 @@ def test_entry_smoke(spark):
     df = entry_mod.entry(spark)
     assert df.count() >= 0
     assert set(df.columns) >= {"doc_id", "path", "error_type", "message"}
+
+
+def test_anti_join_oracle_nonvacuous(spark, duck):
+    """r3 VERDICT "What's missing" #1: customers_without_orders was the
+    last 0-row green (consistency-of-emptiness). The query now re-keys a
+    deterministic customer subset out of the orders key space; the planted
+    orphan count is pinned so the left_anti path is actually exercised."""
+    name = "customers_without_orders"
+    df = entry_mod.queries()[name](spark, SF_DIR)
+    expected, _ = duck_rows(duck, entry_mod.oracle_sql()[name])
+    assert df.count() == len(expected) == 16
