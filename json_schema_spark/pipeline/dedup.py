@@ -210,25 +210,18 @@ def minhash_signatures(df: DataFrame, n: int = 3, num_hashes: int = 8,
     )
 
 
-def minhash_lsh_candidates(df: DataFrame, n: int = 3, num_hashes: int = 8,
-                           bands: int = 4, text_col: str = "text",
-                           id_col: str = "doc_id",
-                           max_bucket_size: Optional[int] = 5000) -> DataFrame:
-    """Candidate near-dup pairs via LSH banding: docs sharing any band
-    bucket. Join fans out per-bucket, not per-corpus — the scale path.
-
-    ``max_bucket_size`` (default 5000) drops degenerate buckets before the
-    self-join (see :func:`cap_bucket_fanout` — bounds the worst case at
-    cap²/2 pairs per bucket instead of corpus²; dropped buckets are logged,
-    never silent). Pass None to disable. Persisted intermediates are
-    registered on the result — release with ``cache.release`` after
-    materializing."""
+def minhash_bands(df: DataFrame, n: int = 3, num_hashes: int = 8,
+                  bands: int = 4, text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """(id, band, bucket) banded MinHash signature rows — the LSH bucket
+    table. Factored out so the BATCH candidate join and the STREAMING
+    per-micro-batch join (streaming/lsh_stream.py) compute buckets from
+    the identical Catalyst expressions: stream and batch agree on what
+    "candidate" means by construction."""
     assert num_hashes % bands == 0
     rows_per_band = num_hashes // bands
     sigs = minhash_signatures(df, n, num_hashes, text_col, id_col)
-    # the banded table feeds the bucket counts and BOTH self-join sides:
-    # persist so the shingle+signature pass over the corpus runs once
-    banded = sigs.select(
+    return sigs.select(
         id_col,
         F.explode(F.array(*[
             F.struct(
@@ -243,7 +236,26 @@ def minhash_lsh_candidates(df: DataFrame, n: int = 3, num_hashes: int = 8,
             for bi in range(bands)
         ])).alias("bb"),
     ).select(id_col, F.col("bb.band").alias("band"),
-             F.col("bb.bucket").alias("bucket")).persist()
+             F.col("bb.bucket").alias("bucket"))
+
+
+def minhash_lsh_candidates(df: DataFrame, n: int = 3, num_hashes: int = 8,
+                           bands: int = 4, text_col: str = "text",
+                           id_col: str = "doc_id",
+                           max_bucket_size: Optional[int] = 5000) -> DataFrame:
+    """Candidate near-dup pairs via LSH banding: docs sharing any band
+    bucket. Join fans out per-bucket, not per-corpus — the scale path.
+
+    ``max_bucket_size`` (default 5000) drops degenerate buckets before the
+    self-join (see :func:`cap_bucket_fanout` — bounds the worst case at
+    cap²/2 pairs per bucket instead of corpus²; dropped buckets are logged,
+    never silent). Pass None to disable. Persisted intermediates are
+    registered on the result — release with ``cache.release`` after
+    materializing."""
+    # the banded table feeds the bucket counts and BOTH self-join sides:
+    # persist so the shingle+signature pass over the corpus runs once
+    banded = minhash_bands(df, n, num_hashes, bands, text_col,
+                           id_col).persist()
     capped, counts = cap_bucket_fanout(banded, ["band", "bucket"],
                                        max_bucket_size,
                                        "minhash_lsh_candidates")
