@@ -592,13 +592,24 @@ def q_asof_click_before_purchase(spark, sf_dir):
     at-or-before its timestamp for the same user (union + running-last
     window — one shuffle, no range-join fan-out). Oracle: DuckDB's native
     ASOF LEFT JOIN, an independent engine implementation of the same
-    semantics."""
+    semantics.
+
+    Deterministically planted NULL click values (~1/7 of right rows, 306
+    of 1981 purchases match one at sf0.01) pin the ROW-LEVEL carry
+    semantics: a matched row's NULL must come through as NULL, not be
+    papered over by an older row's value (ADVICE r3 medium — a per-column
+    last(ignorenulls) carry red-hashes here). floor() before the bigint
+    cast keeps the NULL-planting arithmetic engine-portable (DuckDB
+    rounds double→bigint casts, Spark truncates)."""
     e = _t(spark, sf_dir, "events")
     left = (e.where(F.col("event_type") == "purchase")
             .select("event_id", "user_id", "ts", "value"))
+    cv = F.max("value")
     right = (e.where(F.col("event_type") == "click")
              .groupBy("user_id", "ts")
-             .agg(F.max("value").alias("click_value")))
+             .agg(F.when(F.floor(cv * 100).cast("bigint") % 7 == 0,
+                         F.lit(None).cast("double"))
+                  .otherwise(cv).alias("click_value")))
     out = asof.asof_join(left, right, on="user_id", ts="ts",
                          right_value_cols=["click_value"])
     return out.select("event_id", "user_id", "value",
@@ -1462,7 +1473,10 @@ def oracle_sql() -> dict[str, str]:
         "asof_click_before_purchase": """
             WITH l AS (SELECT event_id, user_id, ts, value FROM events
                        WHERE event_type = 'purchase'),
-            r AS (SELECT user_id, ts, max(value) AS click_value
+            r AS (SELECT user_id, ts,
+                         CASE WHEN CAST(floor(max(value) * 100) AS BIGINT)
+                                   % 7 = 0
+                              THEN NULL ELSE max(value) END AS click_value
                   FROM events WHERE event_type = 'click'
                   GROUP BY user_id, ts)
             SELECT l.event_id, l.user_id, l.value,
