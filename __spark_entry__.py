@@ -545,6 +545,16 @@ def q_doc_chunks(spark, sf_dir):
     return text_ops.chunk_documents(d, chunk_tokens=32, overlap=8)
 
 
+def q_ngram_repetition(spark, sf_dir):
+    """Gopher-style repetition signals (duplicate-3-gram fraction +
+    top-gram share) per document — the boilerplate/looping-text quality
+    filter. Row-local total/distinct counts; one map-side-combined shuffle
+    for the top-gram count. Exact integer counts, one double division —
+    the DuckDB oracle reproduces values bit-for-bit."""
+    d = _t(spark, sf_dir, "documents")
+    return text_ops.ngram_repetition(d, n=3)
+
+
 def q_token_heavy_hitters(spark, sf_dir):
     """Top-25 most frequent BPE pre-tokens corpus-wide: explode + hash
     groupBy (map-side partial combine compresses per-partition counts, so
@@ -755,6 +765,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantity_quantiles": q_quantity_quantiles,
         "pii_redaction": q_pii_redaction,
         "doc_chunks": q_doc_chunks,
+        "ngram_repetition": q_ngram_repetition,
         "train_val_split": q_train_val_split,
         "deep_validate_props": q_deep_validate_props,
         "detect_mode": q_detect_mode,
@@ -1423,6 +1434,29 @@ def oracle_sql() -> dict[str, str]:
                    least(32, n - i * 24) AS n_tokens
             FROM base, LATERAL (
                 SELECT unnest(generate_series(0, n_chunks - 1)) AS i) ii
+        """,
+        "ngram_repetition": f"""
+            WITH toks AS (SELECT doc_id, {_TOKENS} AS l FROM documents),
+            g AS (SELECT doc_id, array_to_string(l[i:i+2], ' ') AS gram
+                  FROM toks, LATERAL (
+                      SELECT unnest(generate_series(1, len(l) - 2)) AS i) ii),
+            stats AS (SELECT doc_id, count(*) AS n_grams,
+                             count(DISTINCT gram) AS n_distinct
+                      FROM g GROUP BY doc_id),
+            tops AS (SELECT doc_id, max(c) AS top FROM (
+                         SELECT doc_id, gram, count(*) AS c
+                         FROM g GROUP BY doc_id, gram) GROUP BY doc_id)
+            SELECT t.doc_id,
+                   CAST(coalesce(s.n_grams, 0) AS INT) AS n_grams,
+                   CAST(coalesce(s.n_distinct, 0) AS INT) AS n_distinct,
+                   round(coalesce((s.n_grams - s.n_distinct)
+                                  / CAST(s.n_grams AS DOUBLE), 0.0), 6)
+                       AS dup_frac_r6,
+                   round(coalesce(tp.top / CAST(s.n_grams AS DOUBLE), 0.0), 6)
+                       AS top_share_r6
+            FROM toks t
+            LEFT JOIN stats s USING (doc_id)
+            LEFT JOIN tops tp USING (doc_id)
         """,
         "token_heavy_hitters": (
             "WITH toks AS (SELECT unnest(regexp_extract_all(text, '"

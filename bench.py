@@ -59,6 +59,7 @@ BENCH_QUERIES = [
     "embedding_near_dups",
     "duplicate_clusters",
     "asof_click_before_purchase",
+    "ngram_repetition",
 ]
 
 

@@ -238,3 +238,55 @@ def winnow_fingerprints(df: DataFrame, k: int = 8, window: int = 4,
            .select(id_col, F.col("m.h").alias("fp"), F.col("m.pos").alias("pos"))
            .distinct())
     return sel
+
+
+def ngrams(col: Column, n: int = 3) -> Column:
+    """ALL word n-grams of a document, duplicates included —
+    ``dedup.shingles`` is the distinct variant for set-similarity; this
+    one feeds repetition metrics, where multiplicity IS the signal. Short
+    documents (< n tokens) yield an empty array (same guard rationale as
+    shingles: sequence() counts down into negatives otherwise)."""
+    toks = tokens(col)
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def ngram_repetition(df: DataFrame, n: int = 3, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Gopher-style repetition quality signals per document:
+
+    - ``n_grams`` / ``n_distinct``: total and distinct word n-gram counts
+      — ROW-LOCAL (size + array_distinct inside codegen), no shuffle;
+    - ``dup_frac_r6``: (n_grams − n_distinct) / n_grams — the duplicate
+      n-gram fraction, the classic boilerplate/looping-text filter;
+    - ``top_share_r6``: most-frequent-gram count / n_grams — the
+      "top n-gram fraction" repetition signal.
+
+    top_share needs per-(doc, gram) counts: explode + two-level aggregate,
+    both map-side combinable and keyed on the doc — ONE shuffle whose
+    width is the token fan-out, the same shape as token counting. (A
+    row-local alternative via higher-order aggregate runs interpreted at
+    ~45 µs/element — measured slower than the shuffle at any real width.)
+    Exact integer counts + one double division: engine-portable, DuckDB
+    oracle reproduces bit-for-bit."""
+    g = ngrams(F.col(text_col), n)
+    base = df.select(F.col(id_col), g.alias("__g"))
+    row = base.select(F.col(id_col), F.size("__g").alias("n_grams"),
+                      F.size(F.array_distinct("__g")).alias("n_distinct"))
+    top = (base.select(F.col(id_col), F.explode("__g").alias("__gram"))
+           .groupBy(id_col, "__gram").agg(F.count(F.lit(1)).alias("__c"))
+           .groupBy(id_col).agg(F.max("__c").alias("__top")))
+    safe = F.col("n_grams") > 0
+    dup = (F.col("n_grams") - F.col("n_distinct")).cast("double") / F.col("n_grams")
+    share = F.coalesce(F.col("__top"), F.lit(0)).cast("double") / F.col("n_grams")
+    return (row.join(top, id_col, "left")
+            .select(F.col(id_col), "n_grams", "n_distinct",
+                    F.round(F.when(safe, dup).otherwise(F.lit(0.0)), 6)
+                    .alias("dup_frac_r6"),
+                    F.round(F.when(safe, share).otherwise(F.lit(0.0)), 6)
+                    .alias("top_share_r6")))
