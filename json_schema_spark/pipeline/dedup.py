@@ -273,7 +273,8 @@ def minhash_lsh_candidates(df: DataFrame, n: int = 3, num_hashes: int = 8,
 def duplicate_clusters(pairs: DataFrame, id_a: str = "id_a",
                        id_b: str = "id_b",
                        max_iterations: int = 25,
-                       on_max_iterations: str = "raise") -> DataFrame:
+                       on_max_iterations: str = "raise",
+                       shortcut: bool = True) -> DataFrame:
     """(doc_id, cluster_id): connected components over duplicate-pair edges
     — the step that turns pair output (jaccard/simhash/LSH/embedding) into
     dedup groups. ``cluster_id`` is the component's minimum doc id, so the
@@ -281,13 +282,22 @@ def duplicate_clusters(pairs: DataFrame, id_a: str = "id_a",
     fully deterministic (min is order-invariant).
 
     Algorithm: hash-min label propagation. Each round is one join + one
-    min-aggregate, both shuffling on the id — O(E) work per round, rounds
-    bounded by component diameter. Near-dup components are tiny by
-    construction (pairs come from banded LSH / thresholded similarity), so
-    2-5 rounds dominate. The label table is ``localCheckpoint``ed every
-    round: without lineage truncation each round's plan embeds the previous
-    round's twice — exponential plan growth that OOMs the driver after ~8
-    rounds regardless of data size. Checkpointed label state is O(V).
+    min-aggregate, both shuffling on the id — O(E) work per round. With
+    ``shortcut=True`` (default) rounds beyond the second additionally
+    compress label chains pointer-jumping style (label(v) :=
+    label(label(v)), one O(V) join on the label): labels only ever
+    decrease, so compression is sound, and round count drops from
+    O(diameter) to O(log diameter) — the difference between ~8 and 60+
+    rounds on a chain-shaped component (transitively linked boilerplate),
+    where each round is a full fixed-cost Spark job. Engaging only from
+    round 3 makes the common case free: near-dup components are usually
+    tiny (pairs come from banded LSH / thresholded similarity) and
+    converge in 1–2 rounds — only a still-unconverged (wide) graph pays
+    the compression join, exactly when it wins.
+    The label table is ``localCheckpoint``ed every round: without lineage
+    truncation each round's plan embeds the previous round's — exponential
+    plan growth that OOMs the driver after ~8 rounds regardless of data
+    size. Checkpointed label state is O(V).
 
     Convergence is detected from a ``__changed`` flag computed INSIDE the
     round's own select (label != previous label), so the per-round check is
@@ -311,7 +321,7 @@ def duplicate_clusters(pairs: DataFrame, id_a: str = "id_a",
               .withColumn("label", F.col("id")).localCheckpoint())
     changed = 0
     try:
-        for _ in range(max_iterations):
+        for round_idx in range(max_iterations):
             nbr = (edges.join(labels.select(F.col("id").alias("src"),
                                             F.col("label").alias("src_label")),
                               "src")
@@ -319,10 +329,23 @@ def duplicate_clusters(pairs: DataFrame, id_a: str = "id_a",
                    .select(F.col("dst").alias("id"), "nbr_label"))
             new_label = F.least(F.col("label"),
                                 F.coalesce("nbr_label", "label"))
-            new_labels = (labels.join(nbr, "id", "left")
-                          .select("id", new_label.alias("label"),
-                                  (new_label != F.col("label"))
-                                  .alias("__changed"))
+            upd = labels.join(nbr, "id", "left").select(
+                "id", F.col("label").alias("__old"),
+                new_label.alias("__min"))
+            if shortcut and round_idx >= 2:
+                # pointer jumping: every label IS a node id (labels start as
+                # ids and only take other nodes' ids via min), so one join
+                # on the label resolves label(label(v)) — chains halve per
+                # round. coalesce covers nothing in practice (the label's
+                # own row always exists) but keeps the left join total.
+                lab2 = upd.select(F.col("id").alias("__lid"),
+                                  F.col("__min").alias("__lmin"))
+                final = F.coalesce(F.col("__lmin"), F.col("__min"))
+                upd = (upd.join(lab2, upd["__min"] == lab2["__lid"], "left")
+                       .select("id", F.col("__old"), final.alias("__min")))
+            new_labels = (upd.select("id", F.col("__min").alias("label"),
+                                     (F.col("__min") != F.col("__old"))
+                                     .alias("__changed"))
                           .localCheckpoint())
             changed = new_labels.where(F.col("__changed")).limit(1).count()
             labels = new_labels
@@ -335,8 +358,8 @@ def duplicate_clusters(pairs: DataFrame, id_a: str = "id_a",
                f"{max_iterations} iterations — a component wider than the "
                f"budget is only partially merged (labels are NOT final "
                f"cluster ids). Raise max_iterations (rounds needed ~ "
-               f"log2(component diameter) in the typical case, diameter in "
-               f"the worst).")
+               f"log2(component diameter) with shortcut=True, ~diameter "
+               f"without).")
         if on_max_iterations == "raise":
             raise RuntimeError(msg)
         import warnings

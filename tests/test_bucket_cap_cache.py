@@ -115,6 +115,28 @@ def test_duplicate_clusters_nonconvergence_raises_and_warns(spark):
         dedup.duplicate_clusters(pairs, on_max_iterations="explode")
 
 
+def test_pointer_jumping_converges_in_log_rounds(spark):
+    """shortcut=True compresses label chains (label := label(label)) every
+    round, so a diameter-60 path converges within 10 rounds — plain
+    hash-min would need ~60 and raise. Both modes agree on the final
+    labels (component min)."""
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 61)], "id_a bigint, id_b bigint")
+    out = dedup.duplicate_clusters(pairs, max_iterations=10)
+    rows = out.collect()
+    assert {r.cluster_id for r in rows} == {1} and len(rows) == 61
+
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup.duplicate_clusters(pairs, max_iterations=10, shortcut=False)
+
+    # plain mode still reaches the same fixpoint given enough rounds
+    base = dedup.duplicate_clusters(
+        spark.createDataFrame([(i, i + 1) for i in range(1, 10)],
+                              "id_a bigint, id_b bigint"),
+        max_iterations=25, shortcut=False)
+    assert {r.cluster_id for r in base.collect()} == {1}
+
+
 def _cached_ids(spark):
     """Ids of currently-persisted RDDs. Compared as SETS, not counts: the
     ContextCleaner asynchronously drops RDDs from earlier tests (e.g.
