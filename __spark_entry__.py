@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from json_schema_spark.checks import (column_stats, drift_report,
                                       duplicate_keys)
 from json_schema_spark.engine import ValidationEngine
-from json_schema_spark.pipeline import (asof, dedup, similarity,
+from json_schema_spark.pipeline import (asof, curate, dedup, similarity,
                                         text as text_ops)
 
 # ---------------------------------------------------------------------------
@@ -555,6 +555,27 @@ def q_ngram_repetition(spark, sf_dir):
     return text_ops.ngram_repetition(d, n=3)
 
 
+def q_curated_corpus(spark, sf_dir):
+    """END-TO-END curation composition — the pipeline a corpus actually
+    runs, from the individually-oracled stages: row-local quality/lang
+    filters (cheapest first, inside the scan) → exact dedup (fingerprint
+    groupBy) → near-dup removal (freq-cut Jaccard pairs → connected
+    components → keep the min-id representative) → deterministic hash
+    split. Parameters chosen so EVERY stage filters something at sf0.01
+    (min_tokens drops short docs, max_dup_frac 0.02 drops 4 repetitive
+    docs, lang 'en' drops the 47 'und' docs, planted exact clones —
+    doc_id % 100 == 7 re-keyed +10M, as in exact_dup_clusters — are
+    removed by the fingerprint stage, near-dup removal drops the
+    non-representatives). The DuckDB oracle recomputes the whole chain
+    independently, recursive closure included."""
+    d = _t(spark, sf_dir, "documents")
+    planted = d.unionByName(
+        d.where(F.col("doc_id") % 100 == 7)
+        .withColumn("doc_id", F.col("doc_id") + 10_000_000))
+    return curate.curate_corpus(planted, min_tokens=12, max_dup_frac=0.02,
+                                langs=("en",), jaccard_threshold=0.2)
+
+
 def q_token_heavy_hitters(spark, sf_dir):
     """Top-25 most frequent BPE pre-tokens corpus-wide: explode + hash
     groupBy (map-side partial combine compresses per-partition counts, so
@@ -766,6 +787,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redaction": q_pii_redaction,
         "doc_chunks": q_doc_chunks,
         "ngram_repetition": q_ngram_repetition,
+        "curated_corpus": q_curated_corpus,
         "train_val_split": q_train_val_split,
         "deep_validate_props": q_deep_validate_props,
         "detect_mode": q_detect_mode,
@@ -1457,6 +1479,94 @@ def oracle_sql() -> dict[str, str]:
             FROM toks t
             LEFT JOIN stats s USING (doc_id)
             LEFT JOIN tops tp USING (doc_id)
+        """,
+        # Full-pipeline recomputation: every stage of curate_corpus redone
+        # independently (row-local filters, md5 exact dedup, freq-cut
+        # Jaccard pairs, recursive-CTE connected components, hash split)
+        "curated_corpus": f"""
+            WITH RECURSIVE
+            docs2 AS (
+                SELECT doc_id, text FROM documents
+                UNION ALL
+                SELECT doc_id + 10000000, text FROM documents
+                WHERE doc_id % 100 = 7
+            ),
+            t AS (SELECT doc_id, text, {_TOKENS} AS l FROM docs2),
+            gr AS (SELECT doc_id, array_to_string(l[i:i+2], ' ') AS gram
+                   FROM t, LATERAL (
+                       SELECT unnest(generate_series(1, len(l) - 2)) AS i) ii),
+            rep AS (SELECT doc_id, count(*) AS ng,
+                           count(DISTINCT gram) AS nd FROM gr GROUP BY doc_id),
+            lsc AS (SELECT doc_id,
+                       len(list_filter(l, x -> list_contains(
+                           ['the','a','of','and','to'], lower(x)))) AS h_en,
+                       len(list_filter(l, x -> list_contains(
+                           ['der','die','und','das','ist'], lower(x)))) AS h_de,
+                       len(list_filter(l, x -> list_contains(
+                           ['el','la','de','que','y'], lower(x)))) AS h_es,
+                       len(list_filter(l, x -> list_contains(
+                           ['le','la','et','les','des'], lower(x)))) AS h_fr
+                    FROM t),
+            lng AS (SELECT doc_id,
+                       CASE WHEN greatest(h_en, h_de, h_es, h_fr) = 0 THEN 'und'
+                            WHEN h_fr = greatest(h_en, h_de, h_es, h_fr) THEN 'fr'
+                            WHEN h_es = greatest(h_en, h_de, h_es, h_fr) THEN 'es'
+                            WHEN h_en = greatest(h_en, h_de, h_es, h_fr) THEN 'en'
+                            ELSE 'de' END AS lang
+                    FROM lsc),
+            ann AS (SELECT t.doc_id, t.text, t.l, len(t.l) AS n_tokens,
+                           lng.lang,
+                           coalesce((rep.ng - rep.nd)
+                                    / CAST(rep.ng AS DOUBLE), 0.0) AS dup_frac
+                    FROM t JOIN lng USING (doc_id)
+                    LEFT JOIN rep USING (doc_id)),
+            kept AS (SELECT * FROM ann
+                     WHERE n_tokens >= 12 AND dup_frac <= 0.02
+                       AND lang IN ('en')),
+            keepers AS (SELECT min(doc_id) AS doc_id FROM (
+                            SELECT doc_id,
+                                   md5(regexp_replace(lower(trim(text)),
+                                       '\\s+', ' ', 'g')) AS fp
+                            FROM kept) GROUP BY fp),
+            ded AS (SELECT k.* FROM kept k JOIN keepers USING (doc_id)),
+            sh AS (SELECT DISTINCT doc_id,
+                          array_to_string(l[i:i+2], ' ') AS shingle
+                   FROM ded, LATERAL (
+                       SELECT unnest(generate_series(1, len(l) - 2)) AS i) ii),
+            shc AS (SELECT sh.doc_id, sh.shingle FROM sh
+                    JOIN (SELECT shingle FROM sh GROUP BY shingle
+                          HAVING count(*) <= 1000) f USING (shingle)),
+            sizes AS (SELECT doc_id, count(*) AS n_sh FROM shc GROUP BY doc_id),
+            common AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                              count(*) AS common
+                       FROM shc a JOIN shc b
+                         ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                       GROUP BY 1, 2),
+            prs AS (SELECT id_a, id_b FROM common
+                    JOIN sizes sa ON sa.doc_id = id_a
+                    JOIN sizes sb ON sb.doc_id = id_b
+                    WHERE CAST(common AS DOUBLE)
+                          / CAST(sa.n_sh + sb.n_sh - common AS DOUBLE) >= 0.2),
+            verts AS (SELECT id_a AS id FROM prs UNION SELECT id_b FROM prs),
+            edges AS (SELECT id_a AS src, id_b AS dst FROM prs
+                      UNION SELECT id_b, id_a FROM prs),
+            reach AS (SELECT id, id AS label FROM verts
+                      UNION SELECT e.dst AS id, r.label
+                      FROM edges e JOIN reach r ON r.id = e.src),
+            nonreps AS (SELECT id FROM reach GROUP BY id
+                        HAVING min(label) != id),
+            surv AS (SELECT * FROM ded
+                     WHERE doc_id NOT IN (SELECT id FROM nonreps)),
+            b AS (SELECT *,
+                         CAST(concat('0x', substr(md5(concat('split_42_',
+                             CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT)
+                             % 10000 AS bucket
+                  FROM surv)
+            SELECT doc_id, lang, n_tokens, round(dup_frac, 6) AS dup_frac_r6,
+                   CASE WHEN bucket < 9000 THEN 'train'
+                        WHEN bucket < 9500 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM b
         """,
         "token_heavy_hitters": (
             "WITH toks AS (SELECT unnest(regexp_extract_all(text, '"

@@ -60,6 +60,7 @@ BENCH_QUERIES = [
     "duplicate_clusters",
     "asof_click_before_purchase",
     "ngram_repetition",
+    "curated_corpus",
 ]
 
 

@@ -1,3 +1,3 @@
-from . import cache, dedup, similarity, text
+from . import cache, curate, dedup, similarity, text
 
-__all__ = ["cache", "dedup", "similarity", "text"]
+__all__ = ["cache", "curate", "dedup", "similarity", "text"]

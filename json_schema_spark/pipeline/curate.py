@@ -1,0 +1,80 @@
+"""End-to-end corpus curation: the composition a training-data pipeline
+actually runs, wired from the individually-oracled operators.
+
+Stage order is chosen for 100-TB cost, cheapest-first so each stage
+shrinks the next one's input:
+
+1. row-local annotation + filters (token count, duplicate-n-gram
+   fraction, language) — pure Catalyst inside the scan, no shuffle;
+2. exact dedup — one hash-groupBy on the md5 fingerprint;
+3. near-dup removal — n-gram Jaccard pairs (frequency-cut shingle join)
+   → connected components → drop every non-representative (cluster_id is
+   the component min id, so the kept doc is deterministic);
+4. deterministic hash split (train/val/test) — row-local.
+
+The whole chain is engine-portable arithmetic (md5, exact integer
+counts, one double division per ratio), so the driver's DuckDB oracle
+recomputes the ENTIRE pipeline independently — including the recursive
+connected-components closure — and the result hash-matches.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Sequence
+
+from pyspark.sql import DataFrame, functions as F
+
+from . import cache
+from .dedup import dedup_exact, duplicate_clusters, jaccard_pairs
+from .sampling import hash_split
+from .text import lang_id, ngrams, tokens
+
+
+def curate_corpus(df: DataFrame, *, min_tokens: int = 10,
+                  max_dup_frac: float = 0.2,
+                  langs: Sequence[str] = ("en", "de", "es", "fr"),
+                  jaccard_n: int = 3, jaccard_threshold: float = 0.5,
+                  max_shingle_freq: Optional[int] = 1000,
+                  splits: Optional[Dict[str, float]] = None, seed: int = 42,
+                  text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, lang, n_tokens, dup_frac_r6, split) for every surviving
+    document. Persisted intermediates (the filtered corpus + the shingle
+    table inside jaccard_pairs) are registered on the result — release
+    with ``cache.release`` after materializing.
+
+    ``dup_frac`` here is the ROW-LOCAL duplicate-n-gram fraction
+    (size − distinct size of the gram array — no shuffle); the
+    shuffle-bearing top-gram share lives in ``text.ngram_repetition`` for
+    when the extra signal is worth the pass."""
+    g = ngrams(F.col(text_col), jaccard_n)
+    ann = df.select(
+        F.col(id_col), F.col(text_col),
+        lang_id(F.col(text_col)).alias("lang"),
+        F.size(tokens(F.col(text_col))).alias("n_tokens"),
+        F.size(g).alias("__ng"),
+        F.size(F.array_distinct(g)).alias("__nd"),
+    ).withColumn(
+        "__dup_frac",
+        F.when(F.col("__ng") > 0,
+               (F.col("__ng") - F.col("__nd")).cast("double") / F.col("__ng"))
+        .otherwise(F.lit(0.0)))
+    # row-local filters first: everything downstream (fingerprint groupBy,
+    # shingle join, clustering) runs on the shrunk corpus. Persisted: the
+    # filtered table feeds exact dedup, the pair join, AND the final
+    # projection — three consumers of one expensive annotate+filter pass.
+    kept = (ann.where((F.col("n_tokens") >= min_tokens)
+                      & (F.col("__dup_frac") <= max_dup_frac)
+                      & F.col("lang").isin(list(langs)))
+            .persist())
+    deduped = dedup_exact(kept, text_col, id_col)
+    pairs = jaccard_pairs(deduped, jaccard_n, jaccard_threshold,
+                          text_col, id_col, max_shingle_freq)
+    clusters = duplicate_clusters(pairs, "id_a", "id_b")
+    non_reps = (clusters.where(F.col("doc_id") != F.col("cluster_id"))
+                .select(F.col("doc_id").alias(id_col)))
+    survivors = deduped.join(non_reps, id_col, "left_anti")
+    out = (hash_split(survivors, splits, id_col, seed)
+           .select(F.col(id_col), "lang", "n_tokens",
+                   F.round("__dup_frac", 6).alias("dup_frac_r6"), "split"))
+    return cache.register(out, kept, *cache.deps_of(pairs))
