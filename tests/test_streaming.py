@@ -191,3 +191,67 @@ def test_streaming_lsh_candidates_match_batch(spark, tmp_path):
     want = {(r.id_a, r.id_b) for r in bout.collect()}
     cache.release(bout)
     assert got == want and len(want) >= 30  # 10 groups of 3 -> >= 30 pairs
+
+
+def test_streaming_sessionization_matches_batch(spark, tmp_path):
+    """applyInPandasWithState sessionizer: replaying events in timestamp
+    order through micro-batches yields the batch gap-session result
+    exactly (same integer-microsecond gap rule as q_user_sessions)."""
+    import datetime
+
+    from pyspark.sql import Window
+    from json_schema_spark.streaming.sessions_stream import sessionize_stream
+
+    base = datetime.datetime(2026, 1, 1)
+    rows = []
+    eid = 0
+    for u in range(12):
+        t = base + datetime.timedelta(minutes=u)
+        for s in range(1 + u % 3):            # sessions per user
+            t += datetime.timedelta(hours=2)  # gap opens a new session
+            for k in range(1 + (u + s) % 4):  # events per session
+                rows.append((eid, f"u{u}", t))
+                t += datetime.timedelta(minutes=5 * k)  # includes 0-gap ties
+                eid += 1
+    events = spark.createDataFrame(rows, "event_id bigint, user_id string, ts timestamp")
+
+    # batch truth (the q_user_sessions formula)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    gap = us - F.lag(us).over(w)
+    batch = (events.withColumn(
+                 "ns", F.when(gap.isNull() | (gap > 3_600_000_000), 1).otherwise(0))
+             .groupBy("user_id")
+             .agg(F.count(F.lit(1)).alias("n_events"),
+                  F.sum("ns").alias("n_sessions")))
+    want = {r.user_id: (r.n_events, r.n_sessions) for r in batch.collect()}
+
+    # replay in ts order across 3 sequential files (file source processes
+    # them in mtime order; maxFilesPerTrigger=1 -> 3 micro-batches)
+    import time
+    path = tmp_path / "sess_events"
+    path.mkdir()
+    ordered = sorted(rows, key=lambda r: (r[2], r[0]))
+    cut = len(ordered) // 3
+    for i, chunk in enumerate((ordered[:cut], ordered[cut:2 * cut],
+                               ordered[2 * cut:])):
+        spark.createDataFrame(chunk, events.schema).coalesce(1) \
+            .write.parquet(str(path / f"b{i}"))
+        time.sleep(1.1)  # distinct mtimes keep replay order deterministic
+
+    stream = (spark.readStream.schema(events.schema)
+              .option("maxFilesPerTrigger", 1)
+              .parquet(str(path / "b*")))
+    q = (sessionize_stream(stream)
+         .writeStream.format("memory").queryName("sess_out")
+         .outputMode("update").start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    # update mode re-emits a user's running totals each batch; the final
+    # (max-events) row per user is the end-of-stream state
+    got = {r.user_id: (r.n_events, r.n_sessions) for r in spark.sql(
+        "SELECT user_id, max(n_events) AS n_events, max(n_sessions) AS n_sessions "
+        "FROM sess_out GROUP BY user_id").collect()}
+    assert got == want and len(want) == 12
