@@ -47,13 +47,18 @@ def curate_corpus(df: DataFrame, *, min_tokens: int = 10,
     (size − distinct size of the gram array — no shuffle); the
     shuffle-bearing top-gram share lives in ``text.ngram_repetition`` for
     when the extra signal is worth the pass."""
-    g = ngrams(F.col(text_col), jaccard_n)
+    # n_grams needs NO gram array — it's max(n_tokens − (n−1), 0) — so the
+    # interpreted transform (HOF lambdas never codegen) runs exactly once,
+    # inside array_distinct. Spark's projection collapsing re-inlines
+    # shared Column expressions, so "compute g once, use twice" would
+    # silently double the lambda work.
+    nt = F.size(tokens(F.col(text_col)))
+    ng = F.when(nt >= jaccard_n, nt - (jaccard_n - 1)).otherwise(F.lit(0))
+    nd = F.size(F.array_distinct(ngrams(F.col(text_col), jaccard_n)))
     ann = df.select(
         F.col(id_col), F.col(text_col),
         lang_id(F.col(text_col)).alias("lang"),
-        F.size(tokens(F.col(text_col))).alias("n_tokens"),
-        F.size(g).alias("__ng"),
-        F.size(F.array_distinct(g)).alias("__nd"),
+        nt.alias("n_tokens"), ng.alias("__ng"), nd.alias("__nd"),
     ).withColumn(
         "__dup_frac",
         F.when(F.col("__ng") > 0,
@@ -67,7 +72,10 @@ def curate_corpus(df: DataFrame, *, min_tokens: int = 10,
                       & (F.col("__dup_frac") <= max_dup_frac)
                       & F.col("lang").isin(list(langs)))
             .persist())
-    deduped = dedup_exact(kept, text_col, id_col)
+    # deduped feeds three consumers (the pair join's shingle pass, the
+    # survivors anti-join, the final projection): persist so the
+    # fingerprint groupBy runs once
+    deduped = dedup_exact(kept, text_col, id_col).persist()
     pairs = jaccard_pairs(deduped, jaccard_n, jaccard_threshold,
                           text_col, id_col, max_shingle_freq)
     clusters = duplicate_clusters(pairs, "id_a", "id_b")
@@ -77,4 +85,4 @@ def curate_corpus(df: DataFrame, *, min_tokens: int = 10,
     out = (hash_split(survivors, splits, id_col, seed)
            .select(F.col(id_col), "lang", "n_tokens",
                    F.round("__dup_frac", 6).alias("dup_frac_r6"), "split"))
-    return cache.register(out, kept, *cache.deps_of(pairs))
+    return cache.register(out, kept, deduped, *cache.deps_of(pairs))
