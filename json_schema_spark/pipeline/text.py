@@ -66,14 +66,26 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     })
 
 
+def _lang_hits(col: Column, words: List[str]) -> Column:
+    """Stopword occurrence count (WITH multiplicity) via one regexp_count
+    inside whole-stage codegen. The obvious form — filter the token array
+    with a lambda — runs INTERPRETED (Spark never codegens higher-order
+    functions, ~45 µs/eval — measured 2.6 s for 5.5 k docs in the curation
+    annotate pass). Token boundaries under \\s+ splitting are exactly
+    (^|\\s) before and (\\s|$) after, and tokens never contain whitespace,
+    so zero-width lookarounds count precisely the tokens whose lowercase
+    form is in the list — including consecutive stopwords ("of the"), which
+    a consuming (\\s|$) group would miss. Parity with the HOF form is
+    pinned by a pytest; the DuckDB oracle keeps its list_filter shape."""
+    pat = "(?<=^|\\s)(?:" + "|".join(words) + ")(?=\\s|$)"
+    return F.regexp_count(F.lower(F.trim(col)), F.lit(pat))
+
+
 def lang_scores(col: Column) -> Dict[str, Column]:
     """Characteristic-word hit ratio per language."""
-    toks = tokens(col)
-    out = {}
-    for lang, words in LANG_PROFILES.items():
-        hits = F.size(F.filter(toks, lambda t: F.lower(t).isin(words)))
-        out[lang] = hits.cast("double") / F.size(toks).cast("double")
-    return out
+    n = F.size(tokens(col))
+    return {lang: _lang_hits(col, words).cast("double") / n.cast("double")
+            for lang, words in LANG_PROFILES.items()}
 
 
 def lang_id(col: Column) -> Column:

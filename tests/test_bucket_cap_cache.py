@@ -217,3 +217,24 @@ def test_null_embeddings_bucket_and_cosine(spark):
     out = similarity.cosine_topk(df, k=5).collect()
     null_cos = [r for r in out if r.neighbor_id == 0]
     assert null_cos and all(r.cosine is None for r in null_cos)
+
+
+def test_lang_hits_regexp_matches_hof_filter(spark):
+    """_lang_hits (regexp_count, codegen) must count exactly what the
+    interpreted token-filter form counts — incl. consecutive stopwords,
+    leading/trailing/multiple whitespace, case, and empty text."""
+    from json_schema_spark.pipeline.text import LANG_PROFILES, tokens
+
+    texts = ["of the and to a", "THE the tHe", "  a  of  ", "",
+             "nothing here matches", "der und das ist der", "atlas of maps",
+             "a", "to to to to", "le la et y que el de des les the"]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    from json_schema_spark.pipeline.text import _lang_hits
+
+    for lang, words in LANG_PROFILES.items():
+        hof = F.size(F.filter(tokens(F.col("text")),
+                              lambda t: F.lower(t).isin(words)))
+        out = df.select(hof.alias("a"),
+                        _lang_hits(F.col("text"), words).alias("b")).collect()
+        for i, r in enumerate(out):
+            assert r.a == r.b, (lang, texts[i], r.a, r.b)
