@@ -36,18 +36,21 @@ def token_count(col: Column) -> Column:
 
 
 def avg_token_length(col: Column) -> Column:
-    """Exact rational (sum of lengths / count) — deterministic across engines."""
-    toks = tokens(col)
-    total = F.aggregate(toks, F.lit(0).cast("long"),
-                        lambda acc, t: acc + F.length(t))
-    return total.cast("double") / F.size(toks).cast("double")
+    """Exact rational (sum of lengths / count) — deterministic across
+    engines. Total token chars = length of the trimmed text with every
+    whitespace run removed (same \\s class as the tokenizer split), which
+    stays in whole-stage codegen; the aggregate-lambda form it replaces ran
+    interpreted (HOFs never codegen)."""
+    total = F.length(F.regexp_replace(F.trim(col), r"\s+", ""))
+    return total.cast("double") / F.size(tokens(col)).cast("double")
 
 
 def stopword_ratio(col: Column, stopwords: List[str] = None) -> Column:
-    toks = tokens(col)
+    """Stopword occurrence fraction via the codegen regexp_count path
+    (see _lang_hits) instead of an interpreted token-filter lambda."""
     sw = stopwords or STOPWORDS
-    n_stop = F.size(F.filter(toks, lambda t: F.lower(t).isin(sw)))
-    return n_stop.cast("double") / F.size(toks).cast("double")
+    return (_lang_hits(col, sw).cast("double")
+            / F.size(tokens(col)).cast("double"))
 
 
 def punct_ratio(col: Column) -> Column:
@@ -77,7 +80,10 @@ def _lang_hits(col: Column, words: List[str]) -> Column:
     form is in the list — including consecutive stopwords ("of the"), which
     a consuming (\\s|$) group would miss. Parity with the HOF form is
     pinned by a pytest; the DuckDB oracle keeps its list_filter shape."""
-    pat = "(?<=^|\\s)(?:" + "|".join(words) + ")(?=\\s|$)"
+    import re
+
+    pat = ("(?<=^|\\s)(?:" + "|".join(re.escape(w) for w in words)
+           + ")(?=\\s|$)")
     return F.regexp_count(F.lower(F.trim(col)), F.lit(pat))
 
 

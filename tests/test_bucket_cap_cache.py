@@ -238,3 +238,28 @@ def test_lang_hits_regexp_matches_hof_filter(spark):
                         _lang_hits(F.col("text"), words).alias("b")).collect()
         for i, r in enumerate(out):
             assert r.a == r.b, (lang, texts[i], r.a, r.b)
+
+
+def test_quality_feature_codegen_forms_match_hof(spark):
+    """avg_token_length (whitespace-strip length) and stopword_ratio
+    (regexp_count) must equal their interpreted HOF formulations."""
+    from json_schema_spark.pipeline.text import (STOPWORDS,
+                                                 avg_token_length,
+                                                 stopword_ratio, tokens)
+
+    texts = ["of the and to a", "  padded   text  here ", "", "one",
+             "a,b puncts! the end.", "THE A of In Is", "x  y\tz"]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    toks = tokens(F.col("text"))
+    hof_avg = (F.aggregate(toks, F.lit(0).cast("long"),
+                           lambda acc, t: acc + F.length(t)).cast("double")
+               / F.size(toks).cast("double"))
+    hof_stop = (F.size(F.filter(toks, lambda t: F.lower(t).isin(STOPWORDS)))
+                .cast("double") / F.size(toks).cast("double"))
+    out = df.select(hof_avg.alias("a1"),
+                    avg_token_length(F.col("text")).alias("a2"),
+                    hof_stop.alias("s1"),
+                    stopword_ratio(F.col("text")).alias("s2")).collect()
+    for i, r in enumerate(out):
+        assert r.a1 == r.a2, (texts[i], r.a1, r.a2)
+        assert r.s1 == r.s2, (texts[i], r.s1, r.s2)
