@@ -40,14 +40,10 @@ def cosine_topk(embeddings: DataFrame, k: int = 5,
     """(query_id, neighbor_id, rank, cosine) — exact top-k by quantized
     cosine. ``queries`` defaults to the corpus itself (self-join, excluding
     self matches)."""
-    base = embeddings.select(
-        F.col(id_col).alias("neighbor_id"),
-        quantize(F.col(vec_col), q).alias("nv"),
-    ).withColumn("nn", _dot(F.col("nv"), F.col("nv")))
-    qdf = (queries or embeddings).select(
-        F.col(id_col).alias("query_id"),
-        quantize(F.col(vec_col), q).alias("qv"),
-    ).withColumn("qq", _dot(F.col("qv"), F.col("qv")))
+    base = (_quant_vecs(embeddings, id_col, vec_col, q, "nv", "nn")
+            .withColumnRenamed(id_col, "neighbor_id"))
+    qdf = (_quant_vecs(queries or embeddings, id_col, vec_col, q, "qv", "qq")
+           .withColumnRenamed(id_col, "query_id"))
 
     # broadcast the QUERY side (bounded: a calibration/query set), stream the
     # corpus — broadcasting the corpus side OOMs at any real scale
@@ -208,6 +204,59 @@ def _bands_udf(bands: int, planes_per_band: int, dims: int, seed: int,
     return bucketize
 
 
+def _quant_norm_udf(q: int):
+    """Arrow-vectorized (quantized vector, squared norm) for the ANN
+    corpus pass — one int64 matmul-equivalent per batch instead of a
+    per-element interpreted ``transform`` plus a per-vector interpreted
+    ``zip_with``+``aggregate`` (HOFs never codegen). Bit-parity with
+    quantize()/_dot(): float32→float64 exact, round-half-away-from-zero
+    (np.rint would be half-to-even), exact int64 products. NULL vectors
+    yield a NULL struct; ragged batches fall back to a per-row loop (the
+    brute-force path has no declared dims to enforce)."""
+    import numpy as np
+    import pandas as pd
+
+    def _quant(m):
+        m = m * q
+        return np.where(m >= 0, np.floor(m + 0.5),
+                        np.ceil(m - 0.5)).astype(np.int64)
+
+    @F.pandas_udf("struct<qv: array<bigint>, nrm: bigint>")
+    def quant_norm(vecs):
+        vals = vecs.tolist()
+        n = len(vals)
+        qv_out, nrm_out = [None] * n, [None] * n
+        idx = [i for i, v in enumerate(vals) if v is not None]
+        if idx:
+            lens = {len(vals[i]) for i in idx}
+            if len(lens) == 1:
+                m = np.asarray([vals[i] for i in idx], dtype=np.float64)
+                quant = _quant(m)
+                nrms = np.einsum("ij,ij->i", quant, quant)
+                ql, nl = quant.tolist(), nrms.tolist()
+                for j, i in enumerate(idx):
+                    qv_out[i], nrm_out[i] = ql[j], int(nl[j])
+            else:
+                for i in idx:
+                    quant = _quant(np.asarray(vals[i], dtype=np.float64))
+                    qv_out[i] = quant.tolist()
+                    nrm_out[i] = int(quant @ quant)
+        return pd.DataFrame({"qv": qv_out, "nrm": nrm_out})
+
+    return quant_norm
+
+
+def _quant_vecs(embeddings: DataFrame, id_col: str, vec_col: str,
+                q: int, qv_name: str = "_qv",
+                nrm_name: str = "_nrm") -> DataFrame:
+    """(id, quantized vector, squared norm) — the shared ANN corpus pass."""
+    qn = _quant_norm_udf(q)
+    return (embeddings
+            .select(F.col(id_col), qn(F.col(vec_col)).alias("__qn"))
+            .select(id_col, F.col("__qn.qv").alias(qv_name),
+                    F.col("__qn.nrm").alias(nrm_name)))
+
+
 def _pair_cosine_udf():
     """Arrow-vectorized exact cosine for candidate pairs: einsum over the
     int64-quantized vectors (exact — 64×10⁶ terms stay far under 2^63) and
@@ -300,11 +349,9 @@ def lsh_topk(embeddings: DataFrame, k: int = 5, planes: int = 8,
 
     # banded bucket table feeds both join sides: persist so the projection
     # pass over the corpus runs once; norms are per-VECTOR quantities —
-    # computed once per vector (n rows), never per candidate pair
-    vecs = (embeddings
-            .select(F.col(id_col), quantize(F.col(vec_col), q).alias("_qv"))
-            .withColumn("_nrm", _dot(F.col("_qv"), F.col("_qv")))
-            .persist())
+    # computed once per vector (n rows, one Arrow batch pass), never per
+    # candidate pair
+    vecs = _quant_vecs(embeddings, id_col, vec_col, q).persist()
     bb = hyperplane_bands(embeddings, bands, planes, id_col, vec_col,
                           seed, q, dims).persist()
     bb_capped, bcounts = cap_bucket_fanout(bb, ["band", "bucket"],
@@ -358,9 +405,7 @@ def ivf_assignments(embeddings: DataFrame, n_centroids: int = 16,
     exact integer dot products; ties break on centroid id."""
     from pyspark.sql import Window
 
-    qv = quantize(F.col(vec_col), q)
-    base = embeddings.select(F.col(id_col), qv.alias("qv")) \
-        .withColumn("nrm", _dot(F.col("qv"), F.col("qv")))
+    base = _quant_vecs(embeddings, id_col, vec_col, q, "qv", "nrm")
 
     # top-k by hash, NOT a global row_number over the corpus: orderBy+limit
     # plans as TakeOrdered (per-partition top-k, tiny driver merge); the
@@ -473,11 +518,7 @@ def embedding_near_dups(embeddings: DataFrame, threshold: float = 0.9,
     in a long-lived session."""
     from .dedup import cap_bucket_fanout
 
-    vecs = (embeddings
-            .select(F.col(id_col),
-                    quantize(F.col(vec_col), q).alias("_qv"))
-            .withColumn("_nrm", _dot(F.col("_qv"), F.col("_qv")))
-            .persist())
+    vecs = _quant_vecs(embeddings, id_col, vec_col, q).persist()
     bb = hyperplane_bands(embeddings, bands, planes_per_band, id_col,
                           vec_col, seed, q, dims).persist()
     bb_capped, bcounts = cap_bucket_fanout(bb, ["band", "bucket"],
