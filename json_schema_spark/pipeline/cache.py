@@ -12,11 +12,11 @@ the DataFrame it returns via :func:`register`. Callers then either
 
 - ``release(df)`` after materializing the result themselves (collect /
   write / foreachBatch), or
-- ``materialize(df)`` to do both: truncate the result's lineage with an
-  eager ``localCheckpoint`` (so the cached deps are no longer reachable
-  from the plan), release the deps, and return the checkpointed frame —
-  whose own storage is in turn registered, so a final ``release`` on it
-  frees everything.
+- ``materialize(df, path=...)`` to do both: write the result out, release
+  the deps, and return the read-back — zero cached blocks remain. The
+  pathless ``materialize(df)`` variant localCheckpoints instead; its own
+  checkpoint storage is NOT release()-able (see the function docstring)
+  and frees only via RDD garbage collection.
 
 Registration is plain Python object state on the DataFrame wrapper — no
 JVM-side hooks, nothing to leak if the caller drops the frame without

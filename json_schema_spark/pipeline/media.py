@@ -99,6 +99,16 @@ class MediaCodec:
         return _decode_stub(payload, mime)
 
     @staticmethod
+    def probe(payload, mime):
+        """(width, height) only — the geometry pass of resize_images.
+        Default delegates to decode(); real codecs override with a
+        header-only read so the resize pass doesn't pay a full pixel
+        decode (plus a thrown-away feature extraction) per image just to
+        learn its dimensions."""
+        w, h, _ = _decode_stub(payload, mime)
+        return w, h
+
+    @staticmethod
     def resize(payload, mime, width, height):
         return _resize_stub(payload, mime, width, height)
 
@@ -127,6 +137,22 @@ class PillowCodec(MediaCodec):
         thumb = img.convert("L").resize((4, 4))
         features = [round(p / 255.0, 6) for p in thumb.getdata()]
         return w, h, features
+
+    @staticmethod
+    def probe(payload, mime):
+        """Header-only geometry: Image.open is lazy — .size reads the
+        header without decoding pixel data, so the resize pass costs ONE
+        full decode (inside resize) instead of two plus a thrown-away
+        thumbnail feature extraction."""
+        if payload is None:
+            return None, None
+        if mime is None or not mime.startswith("image/"):
+            raise NotImplementedError(f"PillowCodec: no decoder for {mime!r}")
+        import io
+
+        from PIL import Image
+
+        return Image.open(io.BytesIO(payload)).size
 
     @staticmethod
     def resize(payload, mime, width, height):
@@ -260,6 +286,10 @@ def resize_images(media_with_payloads: DataFrame, max_side: int = 32,
     rows_per_chunk = max(1, (target_batch_mb * 1024 * 1024) // max(1, avg_payload_bytes))
     imgs = media_with_payloads.where(F.col("mime").startswith("image/"))
     codec = codec or _DEFAULT_CODEC
+    # duck-typed: a minimal custom codec with only decode/resize still
+    # works (geometry falls back to a full decode)
+    probe = getattr(codec, "probe",
+                    lambda p, m: codec.decode(p, m)[:2])
 
     def resize_batches(batches: Iterator) -> Iterator:
         import pandas as pd
@@ -269,7 +299,7 @@ def resize_images(media_with_payloads: DataFrame, max_side: int = 32,
                 chunk = pdf.iloc[lo:lo + rows_per_chunk]
                 src_w, src_h, out_w, out_h, out_p = [], [], [], [], []
                 for payload, mime in zip(chunk["payload"], chunk["mime"]):
-                    w, h, _ = codec.decode(payload, mime)
+                    w, h = probe(payload, mime)
                     if w >= h:
                         tw = min(w, max_side)
                         th = max(1, (h * tw) // w)

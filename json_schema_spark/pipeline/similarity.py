@@ -210,9 +210,13 @@ def _quant_norm_udf(q: int):
     per-element interpreted ``transform`` plus a per-vector interpreted
     ``zip_with``+``aggregate`` (HOFs never codegen). Bit-parity with
     quantize()/_dot(): float32→float64 exact, round-half-away-from-zero
-    (np.rint would be half-to-even), exact int64 products. NULL vectors
-    yield a NULL struct; ragged batches fall back to a per-row loop (the
-    brute-force path has no declared dims to enforce)."""
+    (np.rint would be half-to-even), exact int64 products. A NULL vector —
+    or one containing any NULL/NaN/Inf ELEMENT — yields a NULL struct, so
+    downstream cosines come out NULL and fall out of thresholds/top-k
+    (the NULL-propagation the Catalyst path had; casting NaN to int64
+    would silently produce INT64_MIN and a finite garbage cosine).
+    Ragged batches fall back to a per-row loop (the brute-force path has
+    no declared dims to enforce)."""
     import numpy as np
     import pandas as pd
 
@@ -226,19 +230,29 @@ def _quant_norm_udf(q: int):
         vals = vecs.tolist()
         n = len(vals)
         qv_out, nrm_out = [None] * n, [None] * n
+        # None ELEMENTS inside a vector become NaN under the float64
+        # conversion; the isfinite mask then NULLs the whole struct
         idx = [i for i, v in enumerate(vals) if v is not None]
         if idx:
             lens = {len(vals[i]) for i in idx}
             if len(lens) == 1:
-                m = np.asarray([vals[i] for i in idx], dtype=np.float64)
-                quant = _quant(m)
+                m = np.asarray([[x if x is not None else np.nan
+                                 for x in vals[i]] for i in idx],
+                               dtype=np.float64)
+                ok = np.isfinite(m).all(axis=1)
+                quant = _quant(np.where(np.isfinite(m), m, 0.0))
                 nrms = np.einsum("ij,ij->i", quant, quant)
                 ql, nl = quant.tolist(), nrms.tolist()
                 for j, i in enumerate(idx):
-                    qv_out[i], nrm_out[i] = ql[j], int(nl[j])
+                    if ok[j]:
+                        qv_out[i], nrm_out[i] = ql[j], int(nl[j])
             else:
                 for i in idx:
-                    quant = _quant(np.asarray(vals[i], dtype=np.float64))
+                    m = np.asarray([x if x is not None else np.nan
+                                    for x in vals[i]], dtype=np.float64)
+                    if not np.isfinite(m).all():
+                        continue
+                    quant = _quant(m)
                     qv_out[i] = quant.tolist()
                     nrm_out[i] = int(quant @ quant)
         return pd.DataFrame({"qv": qv_out, "nrm": nrm_out})

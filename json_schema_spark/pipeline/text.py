@@ -285,26 +285,31 @@ def ngram_repetition(df: DataFrame, n: int = 3, text_col: str = "text",
     - ``top_share_r6``: most-frequent-gram count / n_grams — the
       "top n-gram fraction" repetition signal.
 
-    top_share needs per-(doc, gram) counts: explode + two-level aggregate,
-    both map-side combinable and keyed on the doc — ONE shuffle whose
-    width is the token fan-out, the same shape as token counting. (A
-    row-local alternative via higher-order aggregate runs interpreted at
-    ~45 µs/element — measured slower than the shuffle at any real width.)
-    Exact integer counts + one double division: engine-portable, DuckDB
-    oracle reproduces bit-for-bit."""
+    ALL THREE metrics derive from ONE per-(doc, gram) count pass (explode
+    + two-level aggregate, both map-side combinable): n_grams = sum of
+    counts, n_distinct = row count, top = max count. The tempting hybrid
+    — row-local size/array_distinct for the first two plus the exploded
+    pass for top — builds the gram array TWICE, and the gram transform is
+    an interpreted higher-order function (~45 µs/eval, never codegen); a
+    left join from the id spine restores docs with no grams. Exact
+    integer counts + one double division: engine-portable, DuckDB oracle
+    reproduces bit-for-bit."""
     g = ngrams(F.col(text_col), n)
-    base = df.select(F.col(id_col), g.alias("__g"))
-    row = base.select(F.col(id_col), F.size("__g").alias("n_grams"),
-                      F.size(F.array_distinct("__g")).alias("n_distinct"))
-    top = (base.select(F.col(id_col), F.explode("__g").alias("__gram"))
-           .groupBy(id_col, "__gram").agg(F.count(F.lit(1)).alias("__c"))
-           .groupBy(id_col).agg(F.max("__c").alias("__top")))
-    safe = F.col("n_grams") > 0
-    dup = (F.col("n_grams") - F.col("n_distinct")).cast("double") / F.col("n_grams")
-    share = F.coalesce(F.col("__top"), F.lit(0)).cast("double") / F.col("n_grams")
-    return (row.join(top, id_col, "left")
-            .select(F.col(id_col), "n_grams", "n_distinct",
-                    F.round(F.when(safe, dup).otherwise(F.lit(0.0)), 6)
-                    .alias("dup_frac_r6"),
-                    F.round(F.when(safe, share).otherwise(F.lit(0.0)), 6)
-                    .alias("top_share_r6")))
+    stats = (df.select(F.col(id_col), F.explode(g).alias("__gram"))
+             .groupBy(id_col, "__gram").agg(F.count(F.lit(1)).alias("__c"))
+             .groupBy(id_col).agg(F.sum("__c").alias("__ng"),
+                                  F.count(F.lit(1)).alias("__nd"),
+                                  F.max("__c").alias("__top")))
+    joined = df.select(F.col(id_col)).join(stats, id_col, "left")
+    ng = F.coalesce(F.col("__ng"), F.lit(0))
+    nd = F.coalesce(F.col("__nd"), F.lit(0))
+    safe = ng > 0
+    dup = (ng - nd).cast("double") / ng
+    share = F.coalesce(F.col("__top"), F.lit(0)).cast("double") / ng
+    return joined.select(
+        F.col(id_col), ng.cast("int").alias("n_grams"),
+        nd.cast("int").alias("n_distinct"),
+        F.round(F.when(safe, dup).otherwise(F.lit(0.0)), 6)
+        .alias("dup_frac_r6"),
+        F.round(F.when(safe, share).otherwise(F.lit(0.0)), 6)
+        .alias("top_share_r6"))

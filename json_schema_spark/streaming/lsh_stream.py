@@ -31,19 +31,31 @@ incremental emission, documented here rather than hidden).
 
 from __future__ import annotations
 
+import logging
 from typing import Optional
 
 from pyspark.sql import DataFrame, functions as F
 
 from ..pipeline.dedup import minhash_bands
 
+_LOG = logging.getLogger(__name__)
+
 
 def _store_exists(spark, path: str) -> bool:
+    """True iff the signature store already has data. ONLY a missing-path
+    AnalysisException means 'first batch'; any other read failure
+    (permissions, corrupt footer, transient FS error) must propagate —
+    treating it as first-batch would silently drop every batch-vs-store
+    pair for the micro-batch, and those pairs are never re-examined."""
+    from pyspark.errors import AnalysisException
+
     try:
         spark.read.parquet(path)
         return True
-    except Exception:
-        return False
+    except AnalysisException as exc:
+        if "PATH_NOT_FOUND" in str(exc) or "Path does not exist" in str(exc):
+            return False
+        raise
 
 
 def lsh_candidates_stream(stream_df: DataFrame, store_path: str,
@@ -65,6 +77,7 @@ def lsh_candidates_stream(stream_df: DataFrame, store_path: str,
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        counts = None
         bb = minhash_bands(batch_df, n, num_hashes, bands, text_col,
                            id_col).persist()
         try:
@@ -75,10 +88,10 @@ def lsh_candidates_stream(stream_df: DataFrame, store_path: str,
                 store = None
                 combined = bb
             if max_bucket_size is None:
-                capped_new, counts = bb, None
+                capped_new = bb
             else:
                 capped_new, counts = cap_bucket_fanout_combined(
-                    bb, combined, max_bucket_size)
+                    bb, combined, max_bucket_size, batch_id)
             new_a = capped_new.select(F.col(id_col).alias("id_a"),
                                       "band", "bucket")
             new_b = capped_new.select(F.col(id_col).alias("id_b"),
@@ -98,22 +111,33 @@ def lsh_candidates_stream(stream_df: DataFrame, store_path: str,
             # append the UNCAPPED batch rows: the store must stay a faithful
             # signature record (the cap gates emission, not membership)
             bb.write.mode("append").parquet(store_path)
+        finally:
+            # unpersist in finally: a failed write otherwise leaks one
+            # cached frame per retry in a long-running stream
+            bb.unpersist()
             if counts is not None:
                 counts.unpersist()
-        finally:
-            bb.unpersist()
 
     return stream_df.writeStream.foreachBatch(process)
 
 
 def cap_bucket_fanout_combined(bb: DataFrame, combined: DataFrame,
-                               max_bucket_size: int):
+                               max_bucket_size: int,
+                               batch_id: int = -1):
     """Streaming cap variant: size a bucket by the WHOLE corpus seen so far
     (store + batch), not just the batch — a degenerate bucket grows across
     micro-batches, and capping on batch-local size would let every batch
-    re-join against a million-row store bucket."""
+    re-join against a million-row store bucket. Same no-silent-caps
+    contract as the batch ``cap_bucket_fanout``: a WARNING per micro-batch
+    reports how many oversized buckets gated emission."""
     big = (combined.groupBy("band", "bucket")
            .agg(F.count(F.lit(1)).alias("__bsz"))
            .where(F.col("__bsz") > max_bucket_size)
            .select("band", "bucket").persist())
+    n_big = big.count()
+    if n_big:
+        _LOG.warning(
+            "lsh_candidates_stream batch %d: %d bucket(s) over "
+            "max_bucket_size=%d — new rows in them emit no candidate "
+            "pairs this batch", batch_id, n_big, max_bucket_size)
     return bb.join(big, ["band", "bucket"], "left_anti"), big

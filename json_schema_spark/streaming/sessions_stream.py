@@ -55,9 +55,16 @@ def sessionize_stream(stream_df: DataFrame, gap_us: int = 3_600_000_000,
         yield pd.DataFrame({"user_id": [key[0]], "n_events": [n_ev],
                             "n_sessions": [n_se]})
 
-    prepared = stream_df.select(
-        F.col(user_col).cast("string").alias("user_id"),
-        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("__us"))
+    # NULL timestamps (or NULL users) are dropped BEFORE the stateful fold:
+    # one NULL would arrive as NaN in the Arrow batch, int(NaN) would raise
+    # inside fold, and the failed micro-batch replays forever — a
+    # permanently wedged query over one bad row
+    prepared = (stream_df
+                .where(F.col(ts_col).isNotNull()
+                       & F.col(user_col).isNotNull())
+                .select(F.col(user_col).cast("string").alias("user_id"),
+                        F.unix_micros(F.col(ts_col).cast("timestamp"))
+                        .alias("__us")))
     return prepared.groupBy("user_id").applyInPandasWithState(
         fold, out_schema, state_schema, "update",
         GroupStateTimeout.NoTimeout)

@@ -263,3 +263,23 @@ def test_quality_feature_codegen_forms_match_hof(spark):
     for i, r in enumerate(out):
         assert r.a1 == r.a2, (texts[i], r.a1, r.a2)
         assert r.s1 == r.s2, (texts[i], r.s1, r.s2)
+
+
+def test_nan_or_null_element_vector_yields_null_cosine(spark):
+    """Review r4 finding: a NULL/NaN ELEMENT inside an embedding must
+    NULL-propagate (like the Catalyst path) — casting NaN to int64 would
+    produce INT64_MIN and a finite garbage cosine that can rank into
+    top-k."""
+    rows = [(0, [1.0, None, 2.0]),            # NULL element
+            (1, [float("nan"), 1.0, 1.0]),    # NaN element
+            (2, [1.0, 2.0, 3.0]),
+            (3, [1.0, 2.0, 3.1]),
+            (4, [9.0, 0.5, 0.1])]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    out = similarity.cosine_topk(df, k=4).collect()
+    bad = {0, 1}
+    for r in out:
+        if r.neighbor_id in bad or r.query_id in bad:
+            assert r.cosine is None, r
+        else:
+            assert r.cosine is not None and -1.0 <= r.cosine <= 1.0, r

@@ -255,3 +255,30 @@ def test_streaming_sessionization_matches_batch(spark, tmp_path):
         "SELECT user_id, max(n_events) AS n_events, max(n_sessions) AS n_sessions "
         "FROM sess_out GROUP BY user_id").collect()}
     assert got == want and len(want) == 12
+
+
+def test_streaming_sessionization_skips_null_ts(spark, tmp_path):
+    """A NULL timestamp must not wedge the query (int(NaN) inside the
+    stateful fold would fail the micro-batch forever); NULL rows are
+    filtered before the fold."""
+    import datetime
+
+    from json_schema_spark.streaming.sessions_stream import sessionize_stream
+
+    t = datetime.datetime(2026, 1, 1)
+    rows = [(1, "u1", t), (2, "u1", None), (3, None, t),
+            (4, "u1", t + datetime.timedelta(hours=3))]
+    path = str(tmp_path / "nulls")
+    df = spark.createDataFrame(rows, "event_id bigint, user_id string, ts timestamp")
+    df.coalesce(1).write.parquet(path)
+    stream = spark.readStream.schema(df.schema).parquet(path)
+    q = (sessionize_stream(stream)
+         .writeStream.format("memory").queryName("sess_nulls")
+         .outputMode("update").start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {r.user_id: (r.n_events, r.n_sessions)
+           for r in spark.sql("SELECT * FROM sess_nulls").collect()}
+    assert got == {"u1": (2, 2)}  # NULL-ts and NULL-user rows skipped
