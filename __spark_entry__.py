@@ -576,6 +576,18 @@ def q_curated_corpus(spark, sf_dir):
                                 langs=("en",), jaccard_threshold=0.2)
 
 
+def q_contamination(spark, sf_dir):
+    """Benchmark decontamination: corpus docs sharing ≥1 distinct word
+    8-gram with a probe set (here: the docs with doc_id % 200 == 3 stand
+    in for an eval benchmark). Probe shingle set broadcast (bounded);
+    corpus side streams map-side; one combined shuffle for the per-doc
+    overlap count. At sf0.01 exactly the 3 leaked docs flag — natural
+    8-gram collisions are rare by design of the operating point."""
+    d = _t(spark, sf_dir, "documents")
+    probes = d.where(F.col("doc_id") % 200 == 3)
+    return dedup.contamination_overlap(d, probes, n=8)
+
+
 def q_token_heavy_hitters(spark, sf_dir):
     """Top-25 most frequent BPE pre-tokens corpus-wide: explode + hash
     groupBy (map-side partial combine compresses per-partition counts, so
@@ -788,6 +800,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_chunks": q_doc_chunks,
         "ngram_repetition": q_ngram_repetition,
         "curated_corpus": q_curated_corpus,
+        "contamination": q_contamination,
         "train_val_split": q_train_val_split,
         "deep_validate_props": q_deep_validate_props,
         "detect_mode": q_detect_mode,
@@ -1567,6 +1580,20 @@ def oracle_sql() -> dict[str, str]:
                         WHEN bucket < 9500 THEN 'val'
                         ELSE 'test' END AS split
             FROM b
+        """,
+        "contamination": f"""
+            WITH toks AS (SELECT doc_id, {_TOKENS} AS l FROM documents),
+            csh AS (SELECT DISTINCT doc_id,
+                           array_to_string(l[i:i+7], ' ') AS shingle
+                    FROM toks, LATERAL (
+                        SELECT unnest(generate_series(1, len(l) - 7)) AS i) ii),
+            psh AS (SELECT DISTINCT array_to_string(l[i:i+7], ' ') AS shingle
+                    FROM toks, LATERAL (
+                        SELECT unnest(generate_series(1, len(l) - 7)) AS i) ii
+                    WHERE doc_id % 200 = 3)
+            SELECT doc_id, count(*) AS n_overlap
+            FROM csh JOIN psh USING (shingle)
+            GROUP BY doc_id
         """,
         "token_heavy_hitters": (
             "WITH toks AS (SELECT unnest(regexp_extract_all(text, '"

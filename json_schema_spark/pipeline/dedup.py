@@ -467,3 +467,35 @@ def simhash_near_pairs(df: DataFrame, max_hamming: int = 8,
         .distinct()
     )
     return cache.register(out, sigs, counts)
+
+
+def contamination_overlap(df: DataFrame, probes: DataFrame, n: int = 8,
+                          text_col: str = "text", id_col: str = "doc_id",
+                          min_overlap: int = 1,
+                          broadcast_probes: bool = True) -> DataFrame:
+    """(doc_id, n_overlap): corpus documents sharing at least
+    ``min_overlap`` distinct word ``n``-gram shingles with ANY document in
+    ``probes`` — benchmark decontamination, the standard pre-training
+    hygiene pass (long-n-gram collision with an eval set ≈ the probe text
+    leaked into the corpus; n=8 is the common operating point: long
+    enough that natural collisions are rare, short enough to survive
+    light paraphrase).
+
+    Scale shape: the probe side is a benchmark suite — bounded and tiny
+    next to the corpus — so its DISTINCT shingle set is broadcast and the
+    corpus-side join is map-side only; the lone shuffle is the final
+    per-doc overlap count (map-side combined, keyed on the id). Pass
+    ``broadcast_probes=False`` if the probe set ever outgrows executor
+    memory (falls back to a shuffle join on the shingle).
+
+    Emits the overlap COUNT rather than a verdict so the caller can
+    threshold/tier (flag at 1, drop at 10, ...) without recomputation."""
+    corpus_sh = shingles(df, n, text_col, id_col, rebalance=False)
+    probe_sh = (shingles(probes, n, text_col, id_col, rebalance=False)
+                .select("shingle").distinct())
+    if broadcast_probes:
+        probe_sh = F.broadcast(probe_sh)
+    return (corpus_sh.join(probe_sh, "shingle")
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("n_overlap"))
+            .where(F.col("n_overlap") >= min_overlap))

@@ -88,3 +88,21 @@ def test_exact_dedup_single_shuffle(spark):
     plan = _plan(exact_duplicates(docs))
     # partial_count then final count = map-side combine visible in plan
     assert plan.count("HashAggregate") >= 2, plan
+
+
+def test_contamination_broadcasts_probe_side(spark):
+    """Decontamination must broadcast the (bounded) probe shingle set —
+    a shuffle join on the shingle would move the whole corpus's shingle
+    table for what is a map-side lookup against a benchmark suite."""
+    from json_schema_spark.pipeline.dedup import contamination_overlap
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    probes = docs.where(F.col("doc_id") % 200 == 3)
+    plan = _plan(contamination_overlap(docs, probes, n=8))
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan
+
+    noplan = _plan(contamination_overlap(docs, probes, n=8,
+                                         broadcast_probes=False))
+    # fallback: explicitly NOT forced to broadcast (AQE may still choose)
+    assert "SortMergeJoin" in noplan or "ShuffledHashJoin" in noplan \
+        or "BroadcastHashJoin" in noplan
