@@ -576,6 +576,30 @@ def q_curated_corpus(spark, sf_dir):
                                 langs=("en",), jaccard_threshold=0.2)
 
 
+def q_stratified_sample(spark, sf_dir):
+    """Domain-weighted deterministic sampling (training-mix construction):
+    keep 100% of en, 40% of zh, 10% of de, drop unlisted strata (es/fr)
+    — per-stratum md5-bucket cuts, row-local, partition/engine-invariant
+    (df.sampleBy is per-partition RNG: NOT reproducible)."""
+    from json_schema_spark.pipeline import sampling
+
+    d = _t(spark, sf_dir, "documents")
+    return (sampling.stratified_hash_sample(
+                d, {"en": 1.0, "zh": 0.4, "de": 0.1}, "lang")
+            .select("doc_id", "lang"))
+
+
+def q_packed_sequences(spark, sf_dir):
+    """Greedy sequence packing: 32/8 token chunks laid end-to-end into
+    128-token training sequences within 8 md5 shards — seq_id is the bin
+    of each chunk's starting offset (one running-sum window PER SHARD,
+    never a global sort). Oracle recomputes the running sums in SQL."""
+    d = _t(spark, sf_dir, "documents")
+    chunks = text_ops.chunk_documents(d, chunk_tokens=32, overlap=8)
+    return (text_ops.pack_sequences(chunks, budget=128, n_shards=8)
+            .select("doc_id", "chunk_idx", "shard", "seq_id", "seq_offset"))
+
+
 def q_contamination(spark, sf_dir):
     """Benchmark decontamination: corpus docs sharing ≥1 distinct word
     8-gram with a probe set (here: the docs with doc_id % 200 == 3 stand
@@ -801,6 +825,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_repetition": q_ngram_repetition,
         "curated_corpus": q_curated_corpus,
         "contamination": q_contamination,
+        "stratified_sample": q_stratified_sample,
+        "packed_sequences": q_packed_sequences,
         "train_val_split": q_train_val_split,
         "deep_validate_props": q_deep_validate_props,
         "detect_mode": q_detect_mode,
@@ -1580,6 +1606,51 @@ def oracle_sql() -> dict[str, str]:
                         WHEN bucket < 9500 THEN 'val'
                         ELSE 'test' END AS split
             FROM b
+        """,
+        "stratified_sample": """
+            WITH b AS (
+                SELECT doc_id, lang,
+                       CAST(concat('0x', substr(md5(concat('split_42_',
+                           CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT)
+                           % 10000 AS bucket
+                FROM documents
+            )
+            SELECT doc_id, lang FROM b
+            WHERE bucket < CASE lang WHEN 'en' THEN 10000
+                                     WHEN 'zh' THEN 4000
+                                     WHEN 'de' THEN 1000
+                                     ELSE 0 END
+        """,
+        "packed_sequences": f"""
+            WITH toks AS (SELECT doc_id, {_TOKENS} AS l FROM documents),
+            base AS (
+                SELECT doc_id, l, len(l) AS n,
+                       CASE WHEN len(l) <= 32 THEN 1
+                            ELSE 1 + (len(l) - 32 + 23) // 24 END AS n_chunks
+                FROM toks
+            ),
+            chunks AS (
+                SELECT doc_id, i AS chunk_idx,
+                       least(32, n - i * 24) AS n_tokens
+                FROM base, LATERAL (
+                    SELECT unnest(generate_series(0, n_chunks - 1)) AS i) ii
+            ),
+            sharded AS (
+                SELECT *, CAST(CAST(concat('0x', substr(md5(concat('pack_',
+                           CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT)
+                           % 8 AS INT) AS shard
+                FROM chunks
+            ),
+            run AS (
+                SELECT *, sum(n_tokens) OVER (PARTITION BY shard
+                              ORDER BY doc_id, chunk_idx
+                              ROWS UNBOUNDED PRECEDING) AS running
+                FROM sharded
+            )
+            SELECT doc_id, chunk_idx, shard,
+                   CAST((running - n_tokens) // 128 AS INT) AS seq_id,
+                   CAST((running - n_tokens) % 128 AS INT) AS seq_offset
+            FROM run
         """,
         "contamination": f"""
             WITH toks AS (SELECT doc_id, {_TOKENS} AS l FROM documents),

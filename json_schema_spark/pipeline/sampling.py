@@ -55,3 +55,27 @@ def hash_split(df: DataFrame, splits: Optional[Dict[str, float]] = None,
     # rounding can leave bucket 9999 past the last cumulative cut
     last = list(splits.keys())[-1]
     return df.withColumn(split_col, expr.otherwise(F.lit(last)))
+
+
+def stratified_hash_sample(df: DataFrame, fractions: Dict[str, float],
+                           strata_col: str, id_col: str = "doc_id",
+                           seed: int = 42,
+                           default_fraction: float = 0.0) -> DataFrame:
+    """Per-stratum deterministic sampling — domain mixing for training
+    corpora (e.g. keep 100% of books, 30% of web, 5% of boilerplate).
+
+    Same machinery as :func:`hash_sample` (md5 bucket of the id, cut at
+    fraction·10000) with the cut looked up per row from the stratum
+    value, so membership stays a pure function of (id, stratum fraction):
+    reproducible across runs, partitionings, and engines, and row-local
+    (no shuffle, no sampleBy's per-partition RNG). Strata missing from
+    ``fractions`` fall back to ``default_fraction`` (0.0 = drop —
+    explicit allowlist semantics)."""
+    for name, frac in fractions.items():
+        if not 0.0 <= frac <= 1.0:
+            raise ValueError(f"fraction for {name!r} must be in [0,1]")
+    cut = F.lit(int(round(default_fraction * _BUCKETS)))
+    for name, frac in fractions.items():
+        cut = F.when(F.col(strata_col) == name,
+                     F.lit(int(round(frac * _BUCKETS)))).otherwise(cut)
+    return df.where(hash_bucket(F.col(id_col), seed) < cut)

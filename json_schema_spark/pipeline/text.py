@@ -313,3 +313,44 @@ def ngram_repetition(df: DataFrame, n: int = 3, text_col: str = "text",
         .alias("dup_frac_r6"),
         F.round(F.when(safe, share).otherwise(F.lit(0.0)), 6)
         .alias("top_share_r6"))
+
+
+def pack_sequences(df: DataFrame, budget: int = 2048,
+                   tokens_col: str = "n_tokens",
+                   order_cols=("doc_id", "chunk_idx"),
+                   shard_col: str = None, n_shards: int = 1024,
+                   id_col: str = "doc_id") -> DataFrame:
+    """Assign each chunk to a fixed-token-budget training sequence
+    (greedy sequential packing): within a shard, chunks are laid end to
+    end in deterministic order and sequence ``seq_id`` is the bin the
+    chunk's STARTING offset falls in — ``floor((running − n) / budget)``
+    with ``running`` the inclusive running token count. A chunk
+    straddling a boundary stays in the bin it started in (bins may
+    overflow by at most one chunk — the standard greedy packing
+    tradeoff; budget-exact packing is a sequential bin-packing problem
+    with no distributed formulation).
+
+    Scale shape: ONE window per shard — ``partitionBy(shard)`` keeps the
+    running-sum windows parallel (a global orderBy would serialize the
+    corpus through one task). The default shard is an md5 bucket of the
+    id (deterministic, engine-portable, same recipe as hash_split);
+    pass ``shard_col`` to pack along an existing partitioning instead.
+    Adds (shard, seq_id, seq_offset) to the input columns."""
+    from pyspark.sql import Window
+
+    from .dedup import md5_int
+
+    out_shard = shard_col
+    if shard_col is None:
+        df = df.withColumn(
+            "shard",
+            F.pmod(md5_int(F.concat(F.lit("pack_"),
+                                    F.col(id_col).cast("string"))),
+                   F.lit(n_shards)).cast("int"))
+        out_shard = "shard"
+    w = (Window.partitionBy(out_shard).orderBy(*[F.col(c) for c in order_cols])
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    running = F.sum(F.col(tokens_col)).over(w)
+    start = running - F.col(tokens_col)
+    return (df.withColumn("seq_id", F.floor(start / F.lit(budget)).cast("int"))
+            .withColumn("seq_offset", (start % F.lit(budget)).cast("int")))

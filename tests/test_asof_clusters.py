@@ -129,3 +129,22 @@ def test_hash_split_reproducible_and_partition_invariant(spark):
           sampling.hash_sample(df.repartition(7), 0.25).collect()}
     assert s1 == s2
     assert 0.2 <= len(s1) / 2000 <= 0.3
+
+
+def test_stratified_sample_validates_and_is_deterministic(spark):
+    from json_schema_spark.pipeline import sampling
+
+    df = (spark.range(0, 1000).withColumnRenamed("id", "doc_id")
+          .withColumn("lang", F.when(F.col("doc_id") % 2 == 0, "en")
+                      .otherwise("zh")))
+    out = sampling.stratified_hash_sample(df, {"en": 1.0, "zh": 0.2}, "lang")
+    rows = out.groupBy("lang").count().collect()
+    got = {r.lang: r["count"] for r in rows}
+    assert got["en"] == 500 and 60 <= got.get("zh", 0) <= 140
+    again = sampling.stratified_hash_sample(
+        df.repartition(7), {"en": 1.0, "zh": 0.2}, "lang")
+    assert {r.doc_id for r in out.collect()} == {r.doc_id for r in again.collect()}
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="must be in"):
+        sampling.stratified_hash_sample(df, {"en": 1.5}, "lang")
