@@ -61,6 +61,9 @@ BENCH_QUERIES = [
     "asof_click_before_purchase",
     "ngram_repetition",
     "curated_corpus",
+    "contamination",
+    "stratified_sample",
+    "packed_sequences",
 ]
 
 
