@@ -10,10 +10,17 @@ explicitly"):
 
 - The catalog side is dimension-like → ``broadcast()`` it under the
   threshold: the 100 TB fact side is scanned once, never shuffled.
-- Above the threshold, a LEFT ANTI sort-merge join with
-  ``spark.sql.optimizer.runtime.bloomFilter.enabled`` prunes the fact side
-  at the scan, and AQE skew-join splitting absorbs hot keys (the
-  deliberately skewed generator mode exercises this).
+- Above the threshold, Spark's runtime Bloom-filter injection
+  (``spark.sql.optimizer.runtime.bloomFilter.enabled``, on by default —
+  the 10 GB ``applicationSideScanSizeThreshold`` is what keeps it out of
+  test-scale plans; injection on the exercised join shape is
+  plan-asserted in ``tests/test_plans.py``) prunes the fact side at the
+  scan for the INNER/SEMI forms, and AQE skew-join splitting absorbs hot
+  keys (the deliberately skewed generator mode exercises this). The
+  LEFT ANTI form cannot take a Bloom filter — a false positive would
+  wrongly DROP a non-matching row — which is exactly why this module
+  aggregates to the key space first and broadcasts the catalog side for
+  the anti-join itself.
 - De-duplicate refs *before* the join (map-side combine on the distinct)
   so a hot key crosses the wire once per map partition, then join the
   dangling key set back to get violation rows if needed — the classic

@@ -106,3 +106,32 @@ def test_contamination_broadcasts_probe_side(spark):
     # fallback: explicitly NOT forced to broadcast (AQE may still choose)
     assert "SortMergeJoin" in noplan or "ShuffledHashJoin" in noplan \
         or "BroadcastHashJoin" in noplan
+
+
+def test_runtime_bloom_filter_fires_on_referential_join(spark):
+    """north_star names Bloom-filter semi-join reduction for referential
+    checks: Spark 4 injects a bloom `might_contain` on the streamed side
+    of a shuffle join when the build side is small+filtered. On by
+    default but gated by a 10 GB application-side scan threshold (why
+    test-scale plans never show it) — pinned here with the threshold
+    lowered so a conf regression or a join-shape refactor that breaks
+    injection fails a test. Anti-joins can't take it (a false positive
+    would wrongly DROP a non-matching row), which is why the dangling-ref
+    check broadcasts instead."""
+    old_b = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    old_t = spark.conf.get(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+        li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+        ok = (spark.read.parquet(f"{SF_DIR}/orders.parquet")
+              .where(F.col("o_orderpriority") == "1-URGENT")
+              .select("o_orderkey"))
+        plan = _plan(li.join(ok, li.l_orderkey == ok.o_orderkey))
+        assert "might_contain" in plan, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_b)
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", old_t)
