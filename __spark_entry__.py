@@ -1610,7 +1610,7 @@ def oracle_sql() -> dict[str, str]:
         "stratified_sample": """
             WITH b AS (
                 SELECT doc_id, lang,
-                       CAST(concat('0x', substr(md5(concat('split_42_',
+                       CAST(concat('0x', substr(md5(concat('sample_42_',
                            CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT)
                            % 10000 AS bucket
                 FROM documents

@@ -19,10 +19,18 @@ from .dedup import md5_int
 _BUCKETS = 10_000
 
 
-def hash_bucket(id_col: Column, seed: int = 42) -> Column:
-    """Deterministic bucket in [0, 10000) from the md5 of (seed, id)."""
+def hash_bucket(id_col: Column, seed: int = 42,
+                purpose: str = "split") -> Column:
+    """Deterministic bucket in [0, 10000) from the md5 of
+    (purpose, seed, id). ``purpose`` separates the hash DOMAINS of
+    sampling and splitting: if both used the same buckets, composing
+    ``hash_split(hash_sample(df, 0.1))`` would put every sampled row in
+    'train' (sample keeps bucket < 1000, train is bucket < 9000) — val
+    and test would contain ZERO sampled rows. Independent domains make
+    the composition unbiased."""
     return F.pmod(
-        md5_int(F.concat(F.lit(f"split_{seed}_"), id_col.cast("string"))),
+        md5_int(F.concat(F.lit(f"{purpose}_{seed}_"),
+                         id_col.cast("string"))),
         F.lit(_BUCKETS))
 
 
@@ -30,9 +38,11 @@ def hash_sample(df: DataFrame, fraction: float, id_col: str = "doc_id",
                 seed: int = 42) -> DataFrame:
     """Reproducible ~``fraction`` sample: keeps rows whose hash bucket
     falls below fraction·10000. Unlike df.sample(), membership is a pure
-    function of the id — stable across runs, partitionings, and engines."""
+    function of the id — stable across runs, partitionings, and engines.
+    Uses the 'sample' hash domain, independent of hash_split's buckets
+    (see hash_bucket) so sample-then-split stays unbiased."""
     cut = int(round(fraction * _BUCKETS))
-    return df.where(hash_bucket(F.col(id_col), seed) < cut)
+    return df.where(hash_bucket(F.col(id_col), seed, "sample") < cut)
 
 
 def hash_split(df: DataFrame, splits: Optional[Dict[str, float]] = None,
@@ -64,18 +74,20 @@ def stratified_hash_sample(df: DataFrame, fractions: Dict[str, float],
     """Per-stratum deterministic sampling — domain mixing for training
     corpora (e.g. keep 100% of books, 30% of web, 5% of boilerplate).
 
-    Same machinery as :func:`hash_sample` (md5 bucket of the id, cut at
-    fraction·10000) with the cut looked up per row from the stratum
-    value, so membership stays a pure function of (id, stratum fraction):
-    reproducible across runs, partitionings, and engines, and row-local
-    (no shuffle, no sampleBy's per-partition RNG). Strata missing from
-    ``fractions`` fall back to ``default_fraction`` (0.0 = drop —
-    explicit allowlist semantics)."""
-    for name, frac in fractions.items():
+    Same machinery as :func:`hash_sample` (md5 bucket of the id in the
+    'sample' domain — independent of hash_split's buckets, so
+    stratify-then-split stays unbiased; see hash_bucket) with the cut
+    looked up per row from the stratum value, so membership stays a pure
+    function of (id, stratum fraction): reproducible across runs,
+    partitionings, and engines, and row-local (no shuffle, no sampleBy's
+    per-partition RNG). Strata missing from ``fractions`` fall back to
+    ``default_fraction`` (0.0 = drop — explicit allowlist semantics)."""
+    for name, frac in list(fractions.items()) + [("default_fraction",
+                                                  default_fraction)]:
         if not 0.0 <= frac <= 1.0:
             raise ValueError(f"fraction for {name!r} must be in [0,1]")
     cut = F.lit(int(round(default_fraction * _BUCKETS)))
     for name, frac in fractions.items():
         cut = F.when(F.col(strata_col) == name,
                      F.lit(int(round(frac * _BUCKETS)))).otherwise(cut)
-    return df.where(hash_bucket(F.col(id_col), seed) < cut)
+    return df.where(hash_bucket(F.col(id_col), seed, "sample") < cut)

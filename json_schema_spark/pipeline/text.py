@@ -334,12 +334,24 @@ def pack_sequences(df: DataFrame, budget: int = 2048,
     running-sum windows parallel (a global orderBy would serialize the
     corpus through one task). The default shard is an md5 bucket of the
     id (deterministic, engine-portable, same recipe as hash_split);
-    pass ``shard_col`` to pack along an existing partitioning instead.
-    Adds (shard, seq_id, seq_offset) to the input columns."""
+    pass ``shard_col`` to pack along an existing partitioning instead
+    (then no shard column is added). Adds (seq_id, seq_offset) — plus
+    ``shard`` when derived — to the input columns; refuses to clobber
+    existing columns of those names (re-packing packed output must be an
+    explicit rename, not a silent overwrite)."""
     from pyspark.sql import Window
 
     from .dedup import md5_int
 
+    if budget <= 0:
+        raise ValueError("budget must be a positive token count")
+    added = ["seq_id", "seq_offset"] + (["shard"] if shard_col is None else [])
+    clash = [c for c in added if c in df.columns]
+    if clash:
+        raise ValueError(
+            f"pack_sequences output column(s) {clash} already exist — "
+            "rename or drop them first (silent overwrite would discard a "
+            "previous packing)")
     out_shard = shard_col
     if shard_col is None:
         df = df.withColumn(

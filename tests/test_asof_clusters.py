@@ -148,3 +148,39 @@ def test_stratified_sample_validates_and_is_deterministic(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="must be in"):
         sampling.stratified_hash_sample(df, {"en": 1.5}, "lang")
+
+
+def test_sample_and_split_hash_domains_independent(spark):
+    """Review r4: sampling and splitting must use independent hash
+    domains — with a shared domain, every sampled row's bucket is below
+    the sample cut and therefore below the train cut too, so val/test
+    would contain ZERO sampled rows."""
+    from json_schema_spark.pipeline import sampling
+
+    df = spark.range(0, 4000).withColumnRenamed("id", "doc_id")
+    sampled = sampling.hash_sample(df, 0.3)
+    splits = {r.split for r in sampling.hash_split(sampled).collect()}
+    assert splits == {"train", "val", "test"}
+
+    strat = (df.withColumn("lang", F.lit("en")))
+    s2 = sampling.stratified_hash_sample(strat, {"en": 0.3}, "lang")
+    splits2 = {r.split for r in sampling.hash_split(s2).collect()}
+    assert splits2 == {"train", "val", "test"}
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="default_fraction"):
+        sampling.stratified_hash_sample(strat, {"en": 0.5}, "lang",
+                                        default_fraction=1.5)
+
+
+def test_pack_sequences_guards(spark):
+    import pytest as _pytest
+    from json_schema_spark.pipeline.text import pack_sequences
+
+    df = spark.createDataFrame([(1, 0, 10)],
+                               "doc_id bigint, chunk_idx int, n_tokens int")
+    with _pytest.raises(ValueError, match="budget"):
+        pack_sequences(df, budget=0)
+    packed = pack_sequences(df, budget=64, n_shards=2)
+    with _pytest.raises(ValueError, match="already exist"):
+        pack_sequences(packed, budget=32, n_shards=2)

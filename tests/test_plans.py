@@ -101,11 +101,18 @@ def test_contamination_broadcasts_probe_side(spark):
     plan = _plan(contamination_overlap(docs, probes, n=8))
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan
 
-    noplan = _plan(contamination_overlap(docs, probes, n=8,
-                                         broadcast_probes=False))
-    # fallback: explicitly NOT forced to broadcast (AQE may still choose)
-    assert "SortMergeJoin" in noplan or "ShuffledHashJoin" in noplan \
-        or "BroadcastHashJoin" in noplan
+    # fallback: with auto-broadcast disabled and the flag off, the probe
+    # join must NOT broadcast (a refactor dropping the flag would) —
+    # conf-pinned so the assertion is falsifiable
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        noplan = _plan(contamination_overlap(docs, probes, n=8,
+                                             broadcast_probes=False))
+        assert "BroadcastHashJoin" not in noplan, noplan
+        assert "SortMergeJoin" in noplan or "ShuffledHashJoin" in noplan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
 
 
 def test_runtime_bloom_filter_fires_on_referential_join(spark):
