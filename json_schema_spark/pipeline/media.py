@@ -98,14 +98,15 @@ class MediaCodec:
     def decode(payload, mime):
         return _decode_stub(payload, mime)
 
-    @staticmethod
-    def probe(payload, mime):
+    @classmethod
+    def probe(cls, payload, mime):
         """(width, height) only — the geometry pass of resize_images.
-        Default delegates to decode(); real codecs override with a
-        header-only read so the resize pass doesn't pay a full pixel
-        decode (plus a thrown-away feature extraction) per image just to
-        learn its dimensions."""
-        w, h, _ = _decode_stub(payload, mime)
+        Default delegates to ``cls.decode()`` (so a subclass overriding
+        only decode() still gets correct geometry); real codecs override
+        probe with a header-only read so the resize pass doesn't pay a
+        full pixel decode (plus a thrown-away feature extraction) per
+        image just to learn its dimensions."""
+        w, h, _ = cls.decode(payload, mime)
         return w, h
 
     @staticmethod

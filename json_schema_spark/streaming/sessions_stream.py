@@ -44,13 +44,17 @@ def sessionize_stream(stream_df: DataFrame, gap_us: int = 3_600_000_000,
             last_us, n_ev, n_se = state.get
         else:
             last_us, n_ev, n_se = None, 0, 0
-        for pdf in pdfs:
-            for v in pdf["__us"].sort_values():
-                v = int(v)
-                if last_us is None or v - last_us > gap_us:
-                    n_se += 1
-                n_ev += 1
-                last_us = v
+        # applyInPandasWithState yields MULTIPLE Arrow chunks per key per
+        # micro-batch (arrow.maxRecordsPerBatch), and cross-chunk order
+        # after the groupBy shuffle is arbitrary — sorting per chunk would
+        # over-count sessions. Gather the key's whole micro-batch slice and
+        # sort ONCE; memory is bounded by that slice, not the stream.
+        vals = sorted(int(v) for pdf in pdfs for v in pdf["__us"])
+        for v in vals:
+            if last_us is None or v - last_us > gap_us:
+                n_se += 1
+            n_ev += 1
+            last_us = v
         state.update((int(last_us), int(n_ev), int(n_se)))
         yield pd.DataFrame({"user_id": [key[0]], "n_events": [n_ev],
                             "n_sessions": [n_se]})

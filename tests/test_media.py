@@ -150,3 +150,27 @@ def test_pillow_codec_real_decode(spark):
           resize_images(df, max_side=16, codec=pillow_codec()).collect()}
     img = Image.open(io.BytesIO(rz["m1"]["payload"]))
     assert img.size == (rz["m1"]["width"], rz["m1"]["height"]) == (16, 8)
+
+
+def test_subclass_overriding_only_decode_gets_its_geometry(spark, media):
+    """Regression (r4 ADVICE): MediaCodec.probe must delegate to the
+    SUBCLASS's decode(), not the stub — a codec subclassing MediaCodec and
+    overriding only decode() previously got stub geometry in
+    resize_images (wrong width/height, wrong aspect math)."""
+    from json_schema_spark.pipeline.media import MediaCodec, resize_images
+
+    class _DecodeOnly(MediaCodec):
+        @staticmethod
+        def decode(payload, mime):
+            if payload is None:
+                return None, None, None
+            return 40, 10, [0.5] * FEATURE_DIM
+
+    assert _DecodeOnly.probe(b"x", "image/png") == (40, 10)
+
+    payloads = synthesize_media_payloads(media)
+    rz = resize_images(payloads, max_side=5, codec=_DecodeOnly()).collect()
+    assert rz
+    for r in rz:
+        assert (r["src_width"], r["src_height"]) == (40, 10)
+        assert (r["width"], r["height"]) == (5, 1)  # 4:1 aspect preserved

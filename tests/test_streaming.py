@@ -282,3 +282,42 @@ def test_streaming_sessionization_skips_null_ts(spark, tmp_path):
     got = {r.user_id: (r.n_events, r.n_sessions)
            for r in spark.sql("SELECT * FROM sess_nulls").collect()}
     assert got == {"u1": (2, 2)}  # NULL-ts and NULL-user rows skipped
+
+
+def test_streaming_sessionization_multichunk_group(spark, tmp_path):
+    """Regression: applyInPandasWithState hands the fold MULTIPLE Arrow
+    chunks per key when the group exceeds arrow.maxRecordsPerBatch, and
+    cross-chunk order after the shuffle is not timestamp order. Sorting
+    per chunk (the old bug) over-counts sessions; the fold must sort the
+    key's whole micro-batch slice once."""
+    import datetime
+
+    from json_schema_spark.streaming.sessions_stream import sessionize_stream
+
+    t = datetime.datetime(2026, 1, 1)
+    h = datetime.timedelta(hours=2)
+    m = datetime.timedelta(minutes=5)
+    # 2 true sessions: {t, t+5m} and {t+2h, t+2h+5m}. Written interleaved
+    # across sessions so any 2-row chunk spans both sessions.
+    rows = [(1, "u1", t), (2, "u1", t + h), (3, "u1", t + m),
+            (4, "u1", t + h + m)]
+    path = str(tmp_path / "chunked")
+    df = spark.createDataFrame(rows, "event_id bigint, user_id string, ts timestamp")
+    df.coalesce(1).write.parquet(path)
+
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "2")
+    try:
+        stream = spark.readStream.schema(df.schema).parquet(path)
+        q = (sessionize_stream(stream)
+             .writeStream.format("memory").queryName("sess_chunks")
+             .outputMode("update").start())
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+    got = {r.user_id: (r.n_events, r.n_sessions)
+           for r in spark.sql("SELECT * FROM sess_chunks").collect()}
+    assert got == {"u1": (4, 2)}
