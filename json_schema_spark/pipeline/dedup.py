@@ -274,7 +274,8 @@ def duplicate_clusters(pairs: DataFrame, id_a: str = "id_a",
                        id_b: str = "id_b",
                        max_iterations: int = 25,
                        on_max_iterations: str = "raise",
-                       shortcut: bool = True) -> DataFrame:
+                       shortcut: bool = True,
+                       checkpoint_dir: Optional[str] = None) -> DataFrame:
     """(doc_id, cluster_id): connected components over duplicate-pair edges
     — the step that turns pair output (jaccard/simhash/LSH/embedding) into
     dedup groups. ``cluster_id`` is the component's minimum doc id, so the
@@ -294,10 +295,21 @@ def duplicate_clusters(pairs: DataFrame, id_a: str = "id_a",
     tiny (pairs come from banded LSH / thresholded similarity) and
     converge in 1–2 rounds — only a still-unconverged (wide) graph pays
     the compression join, exactly when it wins.
-    The label table is ``localCheckpoint``ed every round: without lineage
+    The label table is checkpointed every round: without lineage
     truncation each round's plan embeds the previous round's — exponential
     plan growth that OOMs the driver after ~8 rounds regardless of data
-    size. Checkpointed label state is O(V).
+    size. Checkpointed label state is O(V). The default is
+    ``localCheckpoint`` (blocks on executors — fastest, but an executor
+    loss discards its blocks and FAILS the job, since truncated lineage
+    cannot recompute them). For cluster deployments on preemptible /
+    spot executors pass ``checkpoint_dir=`` (an HDFS/S3/shared-FS path on
+    a real cluster): rounds then use reliable ``checkpoint()``, so a lost
+    executor re-reads the round's labels from storage instead of killing
+    a 40-round job at round 39. Cost is one O(V) write+read per round —
+    the standard durability/latency trade. Checkpoint files are cleaned
+    by Spark's ContextCleaner only if
+    ``spark.cleaner.referenceTracking.cleanCheckpoints=true``; otherwise
+    the caller owns deleting ``checkpoint_dir`` after the job.
 
     Convergence is detected from a ``__changed`` flag computed INSIDE the
     round's own select (label != previous label), so the per-round check is
@@ -313,12 +325,17 @@ def duplicate_clusters(pairs: DataFrame, id_a: str = "id_a",
     a diameter cap is an intentional blast-radius bound)."""
     if on_max_iterations not in ("raise", "warn"):
         raise ValueError("on_max_iterations must be 'raise' or 'warn'")
+    if checkpoint_dir is not None:
+        pairs.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+        _ckpt = lambda df: df.checkpoint()  # reliable, survives executor loss
+    else:
+        _ckpt = lambda df: df.localCheckpoint()
     edges = (pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
              .union(pairs.select(F.col(id_b).alias("src"),
                                  F.col(id_a).alias("dst")))
              .distinct().persist())
-    labels = (edges.select(F.col("src").alias("id")).distinct()
-              .withColumn("label", F.col("id")).localCheckpoint())
+    labels = _ckpt(edges.select(F.col("src").alias("id")).distinct()
+                   .withColumn("label", F.col("id")))
     changed = 0
     try:
         for round_idx in range(max_iterations):
@@ -343,10 +360,10 @@ def duplicate_clusters(pairs: DataFrame, id_a: str = "id_a",
                 final = F.coalesce(F.col("__lmin"), F.col("__min"))
                 upd = (upd.join(lab2, upd["__min"] == lab2["__lid"], "left")
                        .select("id", F.col("__old"), final.alias("__min")))
-            new_labels = (upd.select("id", F.col("__min").alias("label"),
-                                     (F.col("__min") != F.col("__old"))
-                                     .alias("__changed"))
-                          .localCheckpoint())
+            new_labels = _ckpt(
+                upd.select("id", F.col("__min").alias("label"),
+                           (F.col("__min") != F.col("__old"))
+                           .alias("__changed")))
             changed = new_labels.where(F.col("__changed")).limit(1).count()
             labels = new_labels
             if changed == 0:

@@ -1,5 +1,5 @@
 """Streaming near-duplicate candidates: MinHash-LSH per micro-batch
-against a persisted signature store.
+against a persisted, shard-partitioned signature store.
 
 ``dropDuplicatesWithinWatermark`` (dedup_stream.py) handles streaming
 EXACT dedup; near-dup candidates need a join against everything seen so
@@ -17,16 +17,25 @@ The standard shape is ``foreachBatch`` + an external store:
    same pair SET as one batch ``minhash_lsh_candidates`` run;
 3. the batch's bucket rows are appended to the store.
 
-Scale notes: the store is an append-only (band, bucket)-keyed table —
-at 100 TB it should live in a bucketed/partitioned table (Iceberg
-``bucket(N, bucket)`` layout once jars are available; plain parquet here)
-so the per-micro-batch join prunes to the buckets the batch actually
-touches, with periodic compaction and a retention horizon mirroring the
-watermark bound of the exact-dup path. ``max_bucket_size`` applies the
-same degenerate-bucket cut as the batch path, evaluated against the
-store+batch combined bucket size at emission time (pairs emitted before a
-bucket grew past the cap are not retracted — an inherent property of
-incremental emission, documented here rather than hidden).
+Scale contract (the 100-TB path): the store is parquet partitioned by
+``shard = pmod(xxhash64(band, bucket), n_shards)`` — every row of a given
+(band, bucket) lives in exactly one shard directory. Each micro-batch
+collects its own distinct shard set (bounded by ``n_shards``, driver-side
+O(n_shards)) and reads the store WITH a ``shard IN (...)`` filter, so the
+scan partition-prunes to the directories the batch actually touches
+instead of reading everything seen so far. Pruning is lossless for the
+join: (band, bucket) determines shard, so any store row that could match
+a batch row is inside the batch's shard set. On Iceberg the same layout
+is ``bucket(n_shards, bucket)`` once jars are available; either way add
+periodic compaction and a retention horizon mirroring the watermark bound
+of the exact-dup path.
+
+``max_bucket_size`` applies the same degenerate-bucket cut as the batch
+path, evaluated against the store+batch combined bucket size at emission
+time (pairs emitted before a bucket grew past the cap are not retracted —
+an inherent property of incremental emission, documented here rather than
+hidden). The combined size is exact under pruning: all store rows of any
+bucket present in the batch are within the batch's shard set.
 """
 
 from __future__ import annotations
@@ -34,35 +43,49 @@ from __future__ import annotations
 import logging
 from typing import Optional
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..pipeline.dedup import minhash_bands
 
 _LOG = logging.getLogger(__name__)
 
+SHARD_COL = "shard"
 
-def _store_exists(spark, path: str) -> bool:
-    """True iff the signature store already has data. ONLY a missing-path
-    AnalysisException means 'first batch'; any other read failure
-    (permissions, corrupt footer, transient FS error) must propagate —
-    treating it as first-batch would silently drop every batch-vs-store
-    pair for the micro-batch, and those pairs are never re-examined."""
-    from pyspark.errors import AnalysisException
 
-    try:
-        spark.read.parquet(path)
-        return True
-    except AnalysisException as exc:
-        if "PATH_NOT_FOUND" in str(exc) or "Path does not exist" in str(exc):
-            return False
-        raise
+def _hadoop_path_exists(spark: SparkSession, path: str) -> bool:
+    """Existence check via the Hadoop FileSystem API — no parquet
+    schema-inference read, no exception-message matching (which is brittle
+    across Spark versions / FS backends). Works for any Hadoop-supported
+    scheme (file://, hdfs://, s3a://)."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return bool(fs.exists(hpath))
+
+
+def with_shard(bands_df: DataFrame, n_shards: int) -> DataFrame:
+    """Attach the store partition key: a stable hash-shard of the LSH join
+    key. Computed identically at write and read time, so the per-batch
+    store scan can partition-prune on it."""
+    return bands_df.withColumn(
+        SHARD_COL, F.pmod(F.xxhash64("band", "bucket"), F.lit(n_shards)))
+
+
+def pruned_store_read(spark: SparkSession, store_path: str,
+                      shards: list) -> DataFrame:
+    """The store scan a micro-batch performs: partition-pruned to the
+    batch's shard set. Factored out so plan tests can assert the pruning
+    (PartitionFilters carry the IN-list) without driving a stream."""
+    return (spark.read.parquet(store_path)
+            .where(F.col(SHARD_COL).isin(shards)))
 
 
 def lsh_candidates_stream(stream_df: DataFrame, store_path: str,
                           pairs_path: str, n: int = 3, num_hashes: int = 8,
                           bands: int = 4, text_col: str = "text",
                           id_col: str = "doc_id",
-                          max_bucket_size: Optional[int] = None):
+                          max_bucket_size: Optional[int] = None,
+                          n_shards: int = 64):
     """Wire a streaming DataFrame of documents into per-micro-batch LSH
     candidate emission. Returns a ``DataStreamWriter`` (caller calls
     ``.start()``, optionally with a checkpoint location).
@@ -73,16 +96,29 @@ def lsh_candidates_stream(stream_df: DataFrame, store_path: str,
     failure/restart: a batch replay re-appends its pairs and signatures —
     with a transactional table (Iceberg/Delta) make the two writes a
     single ``batch_id``-idempotent commit; with plain parquet, dedup
-    downstream on (id_a, id_b)."""
+    downstream on (id_a, id_b).
+
+    ``n_shards`` sizes the store's partition layout (see module
+    docstring); it must stay CONSTANT for the lifetime of a store — rows
+    written under a different shard count land in the wrong directories
+    and silently miss the pruned join. At cluster scale pick n_shards ≈
+    store_size / target_partition_size (e.g. a few thousand); the
+    driver-side per-batch collect is O(n_shards) longs.
+    """
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         counts = None
-        bb = minhash_bands(batch_df, n, num_hashes, bands, text_col,
-                           id_col).persist()
+        bb = with_shard(
+            minhash_bands(batch_df, n, num_hashes, bands, text_col, id_col),
+            n_shards).persist()
         try:
-            if _store_exists(spark, store_path):
-                store = spark.read.parquet(store_path)
+            if _hadoop_path_exists(spark, store_path):
+                # prune the store scan to the batch's shard set — the scan
+                # cost is O(touched shards), not O(everything seen so far)
+                shards = [r[SHARD_COL] for r in
+                          bb.select(SHARD_COL).distinct().collect()]
+                store = pruned_store_read(spark, store_path, shards)
                 combined = store.unionByName(bb)
             else:
                 store = None
@@ -110,7 +146,7 @@ def lsh_candidates_stream(stream_df: DataFrame, store_path: str,
             pairs.distinct().write.mode("append").parquet(pairs_path)
             # append the UNCAPPED batch rows: the store must stay a faithful
             # signature record (the cap gates emission, not membership)
-            bb.write.mode("append").parquet(store_path)
+            bb.write.mode("append").partitionBy(SHARD_COL).parquet(store_path)
         finally:
             # unpersist in finally: a failed write otherwise leaks one
             # cached frame per retry in a long-running stream

@@ -102,6 +102,31 @@ def test_duplicate_clusters_long_chain_converges(spark):
     assert out.count() == 10
 
 
+def test_duplicate_clusters_reliable_checkpoint_matches(spark, tmp_path):
+    """r4 VERDICT #2: with checkpoint_dir= set, rounds use reliable
+    checkpoint() (survives executor loss) instead of localCheckpoint;
+    labels must be identical and checkpoint files must actually land in
+    the directory."""
+    import os
+
+    # path graph (diameter 24) forces many rounds + pointer jumping, plus
+    # two disjoint small components
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 25)] + [(100, 101), (200, 201)],
+        "id_a bigint, id_b bigint")
+    ckdir = str(tmp_path / "cc_ckpt")
+    local = {(r.doc_id, r.cluster_id)
+             for r in dedup.duplicate_clusters(pairs).collect()}
+    reliable = {(r.doc_id, r.cluster_id)
+                for r in dedup.duplicate_clusters(
+                    pairs, checkpoint_dir=ckdir).collect()}
+    assert reliable == local
+    assert {c for _, c in reliable} == {1, 100, 200}
+    # reliable checkpoints were actually written to the chosen dir
+    files = [os.path.join(dp, f) for dp, _, fs in os.walk(ckdir) for f in fs]
+    assert files, "no checkpoint files written under checkpoint_dir"
+
+
 def test_duplicate_clusters_empty(spark):
     pairs = spark.createDataFrame([], "id_a bigint, id_b bigint")
     assert dedup.duplicate_clusters(pairs).count() == 0

@@ -142,3 +142,28 @@ def test_runtime_bloom_filter_fires_on_referential_join(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_b)
         spark.conf.set(
             "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", old_t)
+
+
+def test_lsh_stream_store_read_partition_prunes(spark, tmp_path):
+    """The streaming LSH signature store is partitioned by a bucket-hash
+    shard; the per-batch read must turn the batch's shard set into
+    PartitionFilters so the scan touches only those directories — at
+    100 TB of accumulated signatures the difference between O(batch
+    buckets) and O(store) per micro-batch."""
+    from json_schema_spark.pipeline.dedup import minhash_bands
+    from json_schema_spark.streaming.lsh_stream import (
+        SHARD_COL, pruned_store_read, with_shard)
+
+    docs = spark.createDataFrame(
+        [(i, f"plan probe doc {i} tok_{i * 5 % 17}") for i in range(50)],
+        "doc_id bigint, text string")
+    store = str(tmp_path / "plan_store")
+    with_shard(minhash_bands(docs), 64) \
+        .write.partitionBy(SHARD_COL).parquet(store)
+
+    pruned = pruned_store_read(spark, store, [3, 7, 11])
+    plan = _plan(pruned)
+    part_lines = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert part_lines, plan
+    assert any(SHARD_COL in ln and "IN" in ln.upper() for ln in part_lines), \
+        part_lines
