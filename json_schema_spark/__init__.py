@@ -23,7 +23,7 @@ from .errors import AggregateError, SchemaError, ValidationError
 from .parser import Parser, parse, parse_bang
 from .schema import SchemaNode
 
-__version__ = "0.1.0"
+__version__ = "0.5.0"
 
 
 def configure(fn) -> None:

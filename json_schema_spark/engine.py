@@ -17,7 +17,9 @@ Modes:
 
 from __future__ import annotations
 
+import hashlib as _hashlib
 import json as _json
+import os
 from collections import OrderedDict
 from typing import List, Optional, Union
 
@@ -134,10 +136,19 @@ class ValidationResult:
 
 class ValidationEngine:
     def __init__(self, spark: SparkSession, max_unroll_depth: Optional[int] = None,
-                 max_ref_depth: Optional[int] = None):
+                 max_ref_depth: Optional[int] = None,
+                 disk_cache_dir: Optional[str] = None):
         self.spark = spark
         self.max_unroll_depth = max_unroll_depth
         self.max_ref_depth = max_ref_depth
+        # disk compile cache: None -> $JSS_COMPILE_CACHE_DIR if set, else
+        # ~/.cache/json_schema_spark/compile; "" disables
+        if disk_cache_dir is None:
+            disk_cache_dir = os.environ.get(
+                "JSS_COMPILE_CACHE_DIR",
+                os.path.join(os.path.expanduser("~"), ".cache",
+                             "json_schema_spark", "compile"))
+        self._disk_cache_dir = disk_cache_dir or None
         register_format_udfs(spark)
         for ddl in variant_sql_udf_ddl():
             spark.sql(ddl)
@@ -175,9 +186,13 @@ class ValidationEngine:
     # contents can change without the key changing.
     _COMPILE_CACHE: "OrderedDict[tuple, tuple]" = OrderedDict()
     _COMPILE_CACHE_MAX = 64
+    _DISK_CACHE_FMT = 1  # bump on any change to the serialized shape
 
     def _cached_compile(self, mode_key: tuple, schema, store, build):
-        if not isinstance(schema, dict) or store is not None:
+        # an EMPTY document store is inert (external $refs fail identically
+        # with or without it — the CLI always passes one), so only a store
+        # with registered schemas defeats the cache
+        if not isinstance(schema, dict) or (store is not None and len(store)):
             return build()
         try:
             schema_key = _json.dumps(schema, sort_keys=True)
@@ -190,11 +205,84 @@ class ValidationEngine:
         if hit is not None:
             cache.move_to_end(key)
             return hit
-        out = build()
+        disk_key = self._disk_cache_key(mode_key, schema_key)
+        out = self._disk_cache_get(disk_key)
+        if out is None:
+            out = build()
+            self._disk_cache_put(disk_key, out)
         cache[key] = out
         while len(cache) > ValidationEngine._COMPILE_CACHE_MAX:
             cache.popitem(last=False)
         return out
+
+    # The in-memory cache dies with the driver; repeated spark-submit jobs
+    # over the same schema re-pay the whole parse -> expand -> emit pass
+    # every launch. The artifacts are plain strings, so they round-trip
+    # through JSON on disk — write-through on compile, read-through on an
+    # in-memory miss. The disk key must be valid ACROSS sessions, so it
+    # uses the config's CONTENT (the in-memory key's ``_version`` is a
+    # session-local mutation counter: two sessions can reach the same
+    # counter with different settings) plus the package version (an
+    # upgrade that changes emitted SQL must never serve the old text).
+    # Custom format COLUMN BUILDERS shape the emitted SQL through an
+    # unkeyable callable — their presence disables the disk cache (name
+    # -only custom formats are fine: the SQL calls the UDF by name and the
+    # predicate binds at runtime registration). All disk IO is best-effort:
+    # a cold/corrupt/unwritable cache silently falls back to compiling
+    # (validation correctness must never depend on cache health).
+
+    def _disk_cache_key(self, mode_key: tuple, schema_key: str) -> Optional[str]:
+        if self._disk_cache_dir is None:
+            return None
+        cfg = configuration()
+        if cfg._custom_format_columns:
+            return None
+        from . import __version__
+
+        cfg_key = _json.dumps([cfg.validate_regex_with, cfg.all_of_sub_errors,
+                               cfg.max_unroll_depth, cfg.max_ref_depth,
+                               sorted(cfg._custom_formats)])
+        return repr((mode_key, schema_key, self.max_unroll_depth,
+                     self.max_ref_depth, cfg_key, __version__,
+                     ValidationEngine._DISK_CACHE_FMT))
+
+    def _disk_cache_path(self, disk_key: Optional[str]) -> Optional[str]:
+        if disk_key is None:
+            return None
+        digest = _hashlib.sha256(disk_key.encode("utf-8")).hexdigest()
+        return os.path.join(self._disk_cache_dir, f"{digest}.json")
+
+    def _disk_cache_get(self, disk_key: Optional[str]):
+        path = self._disk_cache_path(disk_key)
+        if path is None:
+            return None
+        try:
+            with open(path, "r", encoding="utf-8") as fh:
+                blob = _json.load(fh)
+            if blob.get("fmt") != ValidationEngine._DISK_CACHE_FMT:
+                return None
+            parts = [Compiled(v, e) for v, e in blob["parts"]]
+            rest = [[tuple(item) for item in group] for group in blob["rest"]]
+            return (parts, *rest)
+        except (OSError, ValueError, KeyError, TypeError):
+            return None
+
+    def _disk_cache_put(self, disk_key: Optional[str], out: tuple) -> None:
+        path = self._disk_cache_path(disk_key)
+        if path is None:
+            return
+        try:
+            blob = {"fmt": ValidationEngine._DISK_CACHE_FMT,
+                    "parts": [[p.valid, p.errors] for p in out[0]],
+                    "rest": [[list(item) for item in group]
+                             for group in out[1:]]}
+            os.makedirs(os.path.dirname(path), exist_ok=True)
+            tmp = f"{path}.tmp.{os.getpid()}"
+            with open(tmp, "w", encoding="utf-8") as fh:
+                _json.dump(blob, fh)
+            os.replace(tmp, path)  # atomic: concurrent jobs never see a torn file
+        except (OSError, ValueError, TypeError):
+            pass
 
     def _annotate(self, df: DataFrame, parts: List[Compiled],
                   id_cols: Optional[List[str]],

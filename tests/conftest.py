@@ -1,6 +1,15 @@
 import os
+import tempfile
 
 import pytest
+
+# Hermetic disk compile cache: without this, a stale ~/.cache entry written
+# by an OLDER working copy (same package version, different emitted SQL)
+# could leak into test runs. Tests that want the disk path exercise it via
+# an explicit disk_cache_dir.
+os.environ.setdefault(
+    "JSS_COMPILE_CACHE_DIR",
+    tempfile.mkdtemp(prefix="jss_test_compile_cache_"))
 
 
 @pytest.fixture(scope="session")
