@@ -113,6 +113,16 @@ def ensure_corpus(spark) -> str:
     return CORPUS_DIR
 
 
+def _load1() -> float:
+    """1-minute loadavg — the steal telltale on this shared host. Stamped
+    next to every timed pass so a contaminated window is visible in the
+    committed artifact itself, not only in a judge re-measure."""
+    try:
+        return round(os.getloadavg()[0], 2)
+    except OSError:
+        return -1.0
+
+
 def time_validation(spark) -> dict:
     """Scan + validate the corpus: compile once, warm once (analysis +
     codegen), then time steady-state full passes — the shape of a real
@@ -140,11 +150,12 @@ def time_validation(spark) -> dict:
 
     # min-of-passes: the sandbox is a shared host with bursty CPU steal, so
     # the minimum is the faithful steady-state estimator
-    passes = []
+    passes, pass_load = [], []
     for _ in range(BENCH_PASSES):
         t0 = time.time()
         annotated.write.format("noop").mode("overwrite").save()
         passes.append(time.time() - t0)
+        pass_load.append(_load1())
     steady_s = min(passes)
 
     verdicts = result.verdicts.collect()
@@ -155,26 +166,71 @@ def time_validation(spark) -> dict:
         "compile_seconds": round(compile_s, 3),
         "first_pass_seconds": round(first_pass_s, 3),
         "pass_seconds": [round(x, 2) for x in passes],
+        "pass_loadavg1": pass_load,
         "seconds": round(steady_s, 3),
         "docs_per_sec": round(n_docs / steady_s, 1),
     }
 
 
-def run_queries(spark) -> dict:
+def run_queries(spark) -> tuple:
     import __spark_entry__ as entry_mod
 
-    timings = {}
+    timings, loads = {}, {}
     qs = entry_mod.queries()
     for name in BENCH_QUERIES:
         t0 = time.time()
         # noop sink forces full column evaluation (count() would prune)
         qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.time() - t0, 3)
+        loads[name] = _load1()
         # pipeline ops persist multi-consumer intermediates (shingles,
         # signatures, bucket tables) scoped to one query run; drop them so
         # cached blocks don't accumulate across the session (ADVICE r2)
         spark.catalog.clearCache()
-    return timings
+    return timings, loads
+
+
+# r4 VERDICT #3: BENCH_r04's query table was steal-contaminated (its own
+# host calibration read 0.363) yet the numbers shipped anyway. A window is
+# VALID only if a pure-CPU calibration run right after it lands in the
+# host's known quiet band; outside it the queries are re-measured (min per
+# query across attempts, mins taken only over valid windows) and, if no
+# window validates, the contaminated table is moved aside — "queries" is
+# never silently wrong again.
+CALIB_VALID_LO = float(os.environ.get("SPARK_GRAFT_CALIB_LO", "0.7"))
+CALIB_VALID_HI = float(os.environ.get("SPARK_GRAFT_CALIB_HI", "1.05"))
+QUERY_ATTEMPTS = int(os.environ.get("SPARK_GRAFT_QUERY_ATTEMPTS", "2"))
+
+
+def _calibration_valid(calib: dict) -> bool:
+    eff = calib.get("efficiency", -1.0)
+    return CALIB_VALID_LO <= eff <= CALIB_VALID_HI
+
+
+def run_queries_calibrated(spark) -> dict:
+    """Query timings with window validation: measure, calibrate, retry on a
+    stolen window. Returns {"queries": <valid table or None>, plus
+    per-attempt raw detail for the committed artifact}."""
+    attempts = []
+    for i in range(QUERY_ATTEMPTS):
+        timings, loads = run_queries(spark)
+        calib = host_parallel_efficiency(SCALE_LO, SCALE_HI)
+        valid = _calibration_valid(calib)
+        attempts.append({"timings": timings, "loadavg1": loads,
+                         "calibration": calib, "window_valid": valid})
+        if valid:
+            break
+    valid_tables = [a["timings"] for a in attempts if a["window_valid"]]
+    if valid_tables:
+        queries = {name: min(t[name] for t in valid_tables)
+                   for name in valid_tables[0]}
+        invalidated = None
+    else:
+        queries = None  # refuse: every window was steal-contaminated
+        invalidated = {name: min(a["timings"][name] for a in attempts)
+                       for name in attempts[0]["timings"]}
+    return {"queries": queries, "queries_attempts": attempts,
+            "queries_contaminated": invalidated}
 
 
 SCALING_DOCS = int(os.environ.get("SPARK_GRAFT_SCALING_DOCS", "5000000"))
@@ -278,6 +334,10 @@ BUDGET_S = int(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "900"))
 
 def main() -> None:
     t_start = time.time()
+    # hermetic compile measurements: a warm disk compile-cache would make
+    # compile_seconds ≈ 0 and non-comparable across rounds. Children
+    # (validate-only / scaling subprocesses) inherit this too.
+    os.environ["JSS_COMPILE_CACHE_DIR"] = ""
     if "--validate-only" in sys.argv:
         cpus = CPUS
         if "--cpus" in sys.argv:
@@ -293,7 +353,8 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     ensure_corpus(spark)
 
-    queries = run_queries(spark)
+    qres = run_queries_calibrated(spark)
+    queries = qres["queries"]
     validation = time_validation(spark)
     spark.stop()
 
@@ -304,18 +365,23 @@ def main() -> None:
     # in the same window) — the fresh number is the one a real long-running
     # validation job sees. The in-process figure is kept alongside.
     try:
-        import subprocess
-
         proc = subprocess.run(
             [sys.executable, __file__, "--validate-only", "--cpus", str(CPUS)],
             capture_output=True, text=True, timeout=1800, env=dict(os.environ),
             cwd=os.path.dirname(os.path.abspath(__file__)))
         fresh = json.loads(proc.stdout.strip().splitlines()[-1])
-        validation = {**fresh,
+        validation = {**fresh, "fresh_jvm": True,
                       "inprocess_seconds": validation["seconds"],
                       "inprocess_docs_per_sec": validation["docs_per_sec"]}
-    except Exception:
-        pass  # fall back to the in-process measurement
+    except Exception as exc:
+        # fall back to the in-process measurement, but NEVER silently: the
+        # two paths are not comparable (shared-JVM debris measured ~2x
+        # slower), so the artifact must say which one produced the number
+        print(f"bench: fresh-JVM validation re-measure failed "
+              f"({type(exc).__name__}: {exc}); falling back to the "
+              f"in-process figure", file=sys.stderr)
+        validation = {**validation, "fresh_jvm": False,
+                      "fresh_jvm_error": f"{type(exc).__name__}: {exc}"[:200]}
 
     scaling = {}
     if not os.environ.get("SPARK_GRAFT_NO_SCALING"):
@@ -327,12 +393,15 @@ def main() -> None:
             except Exception as exc:  # scaling is evidence, not a gate
                 scaling = {"error": str(exc)[:200]}
 
-    total = round(sum(queries.values()) + validation["seconds"], 3)
+    total = round(sum(queries.values()) + validation["seconds"], 3) \
+        if queries is not None else round(validation["seconds"], 3)
     result = {
         "metric": f"headline queries + typed validation (validated docs/sec); scaling efficiency local[{SCALE_LO}]->local[{SCALE_HI}] (N vs 4N cores, interleaved min-of-passes, host-calibrated)",
         "value": total,
         "unit": "sec",
         "queries": queries,
+        "queries_attempts": qres["queries_attempts"],
+        "queries_contaminated": qres["queries_contaminated"],
         "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
         "validation": validation,
         "scaling": scaling,
@@ -355,6 +424,13 @@ def main() -> None:
         compact["scaling"]["rounds"] = "see BENCH/last_run.json"
     compact["validation"] = {k: v for k, v in validation.items()
                              if k != "pass_seconds"}
+    # keep the compact line parseable within the driver's bounded stdout
+    # tail: per-attempt detail lives in BENCH/last_run.json; the line keeps
+    # only each attempt's calibration verdict
+    compact["queries_attempts"] = [
+        {"window_valid": a["window_valid"],
+         "calibration_efficiency": a["calibration"].get("efficiency")}
+        for a in qres["queries_attempts"]]
     print(json.dumps(compact))
 
 
