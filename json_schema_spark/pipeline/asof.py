@@ -32,6 +32,22 @@ oracle uses as an independent recomputation.
 Right rows should be unique per (keys, ts) — pre-aggregate if not, as the
 canonical ASOF semantics for intra-timestamp duplicates are
 engine-specific.
+
+Hot-key bound (r4 VERDICT #5): ``partitionBy(keys)`` serializes each key
+into ONE task — a pathological key (a bot user with 10^8 events) becomes
+a straggler. That is the standard bound for window-based as-of (DuckDB's
+ASOF join has it too); the mitigations, in order:
+
+1. pre-aggregate the right side per (key, ts) — often collapses the
+   dense side by orders of magnitude (the entry query does this);
+2. ``skew_buckets=N``: two-phase carry. Rows get a coarse time bucket;
+   phase A runs the running-last window per (key, bucket) — a hot key
+   parallelizes into N tasks — and phase B fixes up bucket boundaries
+   with one window over the per-(key, bucket) summary (O(N) rows per
+   key) plus a join back on (key, bucket). Costs two extra shuffles and
+   an eager min/max pass over the timestamps, so it only wins when a
+   single key's slice doesn't fit one task — identical results either
+   way (skew-parity pytest).
 """
 
 from __future__ import annotations
@@ -44,11 +60,17 @@ from pyspark.sql import DataFrame, functions as F, types as T
 def asof_join(left: DataFrame, right: DataFrame,
               on: Union[str, Sequence[str]], ts: str = "ts",
               right_value_cols: Optional[List[str]] = None,
-              suffix: str = "_asof") -> DataFrame:
+              suffix: str = "_asof",
+              skew_buckets: Optional[int] = None) -> DataFrame:
     """For each left row, attach the right-side value columns from the most
     recent right row with the same key(s) and ``right.ts <= left.ts``
     (NULLs when no such row). Left columns pass through unchanged; right
-    value columns are appended with ``suffix``."""
+    value columns are appended with ``suffix``.
+
+    ``skew_buckets=N`` enables the two-phase bucketed carry for corpora
+    with pathological hot keys (module docstring); results are identical
+    to the plain path. Timestamps must be non-NULL in this mode (a NULL
+    has no bucket; the plain path sorts NULLs first)."""
     keys = [on] if isinstance(on, str) else list(on)
     rvals = right_value_cols or [c for c in right.columns
                                  if c not in keys and c != ts]
@@ -74,11 +96,76 @@ def asof_join(left: DataFrame, right: DataFrame,
     )
     from pyspark.sql import Window
 
-    w = (Window.partitionBy(*keys).orderBy("__ts", "__side")
-         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     u = lpart.unionByName(rpart)
-    carried = u.withColumn(
-        "__vrow", F.last(F.col("__rrow"), ignorenulls=True).over(w))
-    return (carried.where(F.col("__side") == 1)
-            .select(F.col("__lrow.*"),
-                    *[F.col(f"__vrow.{c}").alias(c + suffix) for c in rvals]))
+    if skew_buckets is None:
+        w = (Window.partitionBy(*keys).orderBy("__ts", "__side")
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        carried = u.withColumn(
+            "__vrow", F.last(F.col("__rrow"), ignorenulls=True).over(w))
+        deps = ()
+    else:
+        carried, deps = _bucketed_carry(u, keys, skew_buckets)
+    out = (carried.where(F.col("__side") == 1)
+           .select(F.col("__lrow.*"),
+                   *[F.col(f"__vrow.{c}").alias(c + suffix) for c in rvals]))
+    if deps:
+        from . import cache
+
+        # the bucketed path persists the tagged union (it feeds the local
+        # carry AND the bucket summary); release via cache.release(result)
+        out = cache.register(out, *deps)
+    return out
+
+
+def _bucketed_carry(u: DataFrame, keys: List[str],
+                    n_buckets: int) -> DataFrame:
+    """Two-phase running-last over (__ts, __side) with per-(key, bucket)
+    parallelism. Phase A carries within each coarse time bucket; phase B
+    computes, per (key, bucket), the carry arriving FROM earlier buckets
+    (a window over the tiny per-bucket summary) and fills phase A's
+    leading NULLs with it. A left row's answer is either in its own
+    bucket at an earlier (ts, side) — phase A finds the latest such — or
+    the last right row of any earlier bucket — phase B's boundary carry."""
+    from pyspark.sql import Window
+
+    ts_type = u.schema["__ts"].dataType
+    if isinstance(ts_type, (T.TimestampType, T.TimestampNTZType)):
+        num = F.unix_micros(F.col("__ts"))
+    elif isinstance(ts_type, T.DateType):
+        num = F.unix_date(F.col("__ts")).cast("bigint")
+    else:
+        num = F.col("__ts").cast("double")
+    u = u.withColumn("__tsn", num).persist()
+    # eager bounds pass (persisted first, so the corpus isn't scanned
+    # twice): bucket width must come from the data's time range
+    lo, hi = u.select(F.min("__tsn"), F.max("__tsn")).first()
+    if lo is None or hi is None or hi == lo:
+        width = 1.0
+    else:
+        width = (float(hi) - float(lo)) / n_buckets
+    bkt = F.least(F.floor((F.col("__tsn") - F.lit(float(lo or 0))) /
+                          F.lit(width)).cast("bigint"),
+                  F.lit(n_buckets - 1))
+    u = u.withColumn("__bkt", bkt)
+
+    wa = (Window.partitionBy(*keys, "__bkt").orderBy("__ts", "__side")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    local = u.withColumn("__vlocal",
+                         F.last(F.col("__rrow"), ignorenulls=True).over(wa))
+
+    # per-(key, bucket) summary: the bucket's LAST right row (right rows
+    # are unique per (keys, ts), so max_by on __ts is well-defined), NULL
+    # for buckets holding only left rows
+    summary = (u.groupBy(*keys, "__bkt")
+               .agg(F.max_by(F.col("__rrow"),
+                             F.when(F.col("__side") == 0, F.col("__ts")))
+                    .alias("__blast")))
+    wb = (Window.partitionBy(*keys).orderBy("__bkt")
+          .rowsBetween(Window.unboundedPreceding, -1))
+    bound = summary.withColumn(
+        "__vprev", F.last(F.col("__blast"), ignorenulls=True).over(wb)) \
+        .select(*keys, "__bkt", "__vprev")
+
+    out = (local.join(bound, [*keys, "__bkt"])
+           .withColumn("__vrow", F.coalesce("__vlocal", "__vprev")))
+    return out, (u,)

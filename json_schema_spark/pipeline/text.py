@@ -206,7 +206,15 @@ def winnow_fingerprints(df: DataFrame, k: int = 8, window: int = 4,
 
     Scale shape: one explode (bounded by text length), one window over
     (doc, pos) — partitioned per doc, no cross-doc shuffle beyond the
-    repartition implicit in the window."""
+    repartition implicit in the window.
+
+    Hot-key bound: ``partitionBy(doc)`` serializes each document into one
+    task, so the bound here is the LONGEST document, not the hottest join
+    key — O(len) hashes in one task. Mitigate pathological documents
+    upstream with ``chunk_documents`` (fingerprint per chunk) or a length
+    cap; per-user/per-key analogs of this bound are documented on
+    ``asof_join`` (which offers a bucketed two-phase carry) and
+    ``sessionize_stream``."""
     from pyspark.sql import Window
     from .dedup import rebalance_by_id
 

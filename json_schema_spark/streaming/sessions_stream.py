@@ -9,7 +9,15 @@ exactly this: per-key Arrow-batched state with explicit update semantics.
 
 State per user is THREE scalars (last event micros, event count, session
 count) — O(users), not O(events): the bounded-state shape that survives an
-unbounded stream. Events inside a micro-batch are sorted before folding;
+unbounded stream.
+
+Hot-key bound: the stateful groupBy serializes each user into one task
+per micro-batch — a bot user emitting most of a batch's events becomes a
+straggler for that batch (state itself stays 3 scalars). That is the
+inherent shape of per-key ordered folding (DuckDB/Flink keyed state has
+the same bound); mitigation for pathological keys is upstream
+rate-limiting or pre-aggregating same-timestamp events per key — the
+cross-batch fold is already O(batch slice), never O(history). Events inside a micro-batch are sorted before folding;
 cross-batch order is the stream's arrival order (process-time semantics —
 the batch job over the full corpus is the backstop for late data, same
 contract as the exact-dedup stream's watermark bound).

@@ -209,3 +209,62 @@ def test_pack_sequences_guards(spark):
     packed = pack_sequences(df, budget=64, n_shards=2)
     with _pytest.raises(ValueError, match="already exist"):
         pack_sequences(packed, budget=32, n_shards=2)
+
+
+def test_asof_skew_buckets_parity(spark):
+    """r4 VERDICT #5: the two-phase bucketed carry (skew_buckets=) must
+    return exactly the plain path's rows on a corpus with one hot key
+    holding ~100x the rows of the others — including rows answered
+    across bucket boundaries, leading NULLs, ties, and NULL right
+    values inside matched rows."""
+    import random
+
+    from json_schema_spark.pipeline import cache
+
+    rng = random.Random(11)
+    left_rows, right_rows = [], []
+    eid = 0
+    # hot key: 400 left + 120 right events over a wide range; cold keys:
+    # 4 left + 1-2 right each (some buckets will hold only left rows)
+    for user, n_left, n_right in [("hot", 400, 120), ("c1", 4, 2),
+                                  ("c2", 4, 1), ("c3", 4, 0)]:
+        for _ in range(n_left):
+            left_rows.append((eid, user, _ts(0) + datetime.timedelta(
+                seconds=rng.randrange(0, 360000))))
+            eid += 1
+        seen = set()
+        for _ in range(n_right):
+            s = rng.randrange(0, 360000)
+            while s in seen:  # right rows unique per (key, ts)
+                s = rng.randrange(0, 360000)
+            seen.add(s)
+            right_rows.append((user, _ts(0) + datetime.timedelta(seconds=s),
+                               None if rng.random() < 0.1 else float(s)))
+    # ties: a left row exactly AT a right row's ts
+    left_rows.append((eid, "hot", right_rows[0][1]))
+    left = spark.createDataFrame(
+        left_rows, "event_id bigint, user_id string, ts timestamp")
+    right = spark.createDataFrame(
+        right_rows, "user_id string, ts timestamp, click double")
+
+    plain = {r.event_id: r.click_asof
+             for r in asof_join(left, right, on="user_id").collect()}
+    bucketed_df = asof_join(left, right, on="user_id", skew_buckets=8)
+    bucketed = {r.event_id: r.click_asof for r in bucketed_df.collect()}
+    cache.release(bucketed_df)
+    assert bucketed == plain and len(plain) == len(left_rows)
+    # non-vacuous: the corpus exercises both matched and unmatched rows
+    assert any(v is None for v in plain.values())
+    assert any(v is not None for v in plain.values())
+
+
+def test_asof_skew_buckets_numeric_ts(spark):
+    """Bucketed carry over a NUMERIC (non-timestamp) ts column."""
+    left = spark.createDataFrame(
+        [(1, "k", 10), (2, "k", 25), (3, "k", 4)],
+        "event_id bigint, key string, ts bigint")
+    right = spark.createDataFrame(
+        [("k", 5, 1.0), ("k", 20, 2.0)], "key string, ts bigint, v double")
+    out = asof_join(left, right, on="key", skew_buckets=4)
+    got = {r.event_id: r.v_asof for r in out.collect()}
+    assert got == {1: 1.0, 2: 2.0, 3: None}
