@@ -104,3 +104,41 @@ def test_clean_run_then_noop_rerun(spark, docs, tmp_path):
                               n_buckets=4, buckets_per_commit=4)
     assert run2.processed_buckets == []
     assert sorted(run2.skipped_buckets) == list(range(4))
+
+
+def test_compact_violations(spark, docs, tmp_path):
+    """r4 VERDICT #8: per-commit appends accumulate small files; the
+    compaction helper must cut the file count while preserving contents
+    exactly, and a second invocation must be a no-op."""
+    import glob
+
+    from json_schema_spark.manifest import compact_violations
+
+    schema = documents_json_schema(CFG)
+    manifest_path = str(tmp_path / "manifest")
+    violations_path = str(tmp_path / "violations")
+    # 8 buckets committed one at a time -> at least 8 append batches of
+    # multi-part files
+    validate_resumable(spark, docs, schema, manifest_path, violations_path,
+                       n_buckets=8, buckets_per_commit=1)
+
+    before_files = glob.glob(f"{violations_path}/part-*")
+    before_rows = sorted(map(tuple, spark.read.parquet(violations_path).collect()))
+    assert len(before_files) > 2
+
+    stats = compact_violations(spark, violations_path,
+                               target_file_bytes=1024 * 1024 * 1024)
+    assert stats["compacted"] is True
+    assert stats["files_before"] == len(before_files)
+    after_files = glob.glob(f"{violations_path}/part-*")
+    assert len(after_files) == stats["files_after"] < len(before_files)
+
+    after_rows = sorted(map(tuple, spark.read.parquet(violations_path).collect()))
+    assert after_rows == before_rows and len(after_rows) == stats["rows"]
+    assert not glob.glob(f"{violations_path}__compact_tmp/part-*")
+
+    # already compact -> no-op
+    again = compact_violations(spark, violations_path,
+                               target_file_bytes=1024 * 1024 * 1024)
+    assert again["compacted"] is False
+    assert glob.glob(f"{violations_path}/part-*") == after_files
