@@ -30,23 +30,17 @@ from .sampling import hash_split
 from .text import lang_id, ngrams, tokens
 
 
-def curate_corpus(df: DataFrame, *, min_tokens: int = 10,
-                  max_dup_frac: float = 0.2,
-                  langs: Sequence[str] = ("en", "de", "es", "fr"),
-                  jaccard_n: int = 3, jaccard_threshold: float = 0.5,
-                  max_shingle_freq: Optional[int] = 1000,
-                  splits: Optional[Dict[str, float]] = None, seed: int = 42,
-                  text_col: str = "text",
-                  id_col: str = "doc_id") -> DataFrame:
-    """(doc_id, lang, n_tokens, dup_frac_r6, split) for every surviving
-    document. Persisted intermediates (the filtered corpus + the shingle
-    table inside jaccard_pairs) are registered on the result — release
-    with ``cache.release`` after materializing.
-
-    ``dup_frac`` here is the ROW-LOCAL duplicate-n-gram fraction
-    (size − distinct size of the gram array — no shuffle); the
-    shuffle-bearing top-gram share lives in ``text.ngram_repetition`` for
-    when the extra signal is worth the pass."""
+def annotate_and_filter(df: DataFrame, *, min_tokens: int = 10,
+                        max_dup_frac: float = 0.2,
+                        langs: Sequence[str] = ("en", "de", "es", "fr"),
+                        jaccard_n: int = 3, text_col: str = "text",
+                        id_col: str = "doc_id") -> DataFrame:
+    """Stage 1 of curation: row-local annotation (token count, duplicate
+    n-gram fraction, language) + quality filters — pure Catalyst inside
+    the scan, no shuffle. Factored out so the BATCH pipeline and the
+    STREAMING per-micro-batch pass (streaming/curate_stream.py) filter
+    with the identical expressions: stream and batch agree on "kept" by
+    construction (same seam as dedup.minhash_bands)."""
     # n_grams needs NO gram array — it's max(n_tokens − (n−1), 0) — so the
     # interpreted transform (HOF lambdas never codegen) runs exactly once,
     # inside array_distinct. Spark's projection collapsing re-inlines
@@ -64,14 +58,36 @@ def curate_corpus(df: DataFrame, *, min_tokens: int = 10,
         F.when(F.col("__ng") > 0,
                (F.col("__ng") - F.col("__nd")).cast("double") / F.col("__ng"))
         .otherwise(F.lit(0.0)))
+    return ann.where((F.col("n_tokens") >= min_tokens)
+                     & (F.col("__dup_frac") <= max_dup_frac)
+                     & F.col("lang").isin(list(langs)))
+
+
+def curate_corpus(df: DataFrame, *, min_tokens: int = 10,
+                  max_dup_frac: float = 0.2,
+                  langs: Sequence[str] = ("en", "de", "es", "fr"),
+                  jaccard_n: int = 3, jaccard_threshold: float = 0.5,
+                  max_shingle_freq: Optional[int] = 1000,
+                  splits: Optional[Dict[str, float]] = None, seed: int = 42,
+                  text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, lang, n_tokens, dup_frac_r6, split) for every surviving
+    document. Persisted intermediates (the filtered corpus + the shingle
+    table inside jaccard_pairs) are registered on the result — release
+    with ``cache.release`` after materializing.
+
+    ``dup_frac`` here is the ROW-LOCAL duplicate-n-gram fraction
+    (size − distinct size of the gram array — no shuffle); the
+    shuffle-bearing top-gram share lives in ``text.ngram_repetition`` for
+    when the extra signal is worth the pass."""
     # row-local filters first: everything downstream (fingerprint groupBy,
     # shingle join, clustering) runs on the shrunk corpus. Persisted: the
     # filtered table feeds exact dedup, the pair join, AND the final
     # projection — three consumers of one expensive annotate+filter pass.
-    kept = (ann.where((F.col("n_tokens") >= min_tokens)
-                      & (F.col("__dup_frac") <= max_dup_frac)
-                      & F.col("lang").isin(list(langs)))
-            .persist())
+    kept = annotate_and_filter(df, min_tokens=min_tokens,
+                               max_dup_frac=max_dup_frac, langs=langs,
+                               jaccard_n=jaccard_n, text_col=text_col,
+                               id_col=id_col).persist()
     # deduped feeds three consumers (the pair join's shingle pass, the
     # survivors anti-join, the final projection): persist so the
     # fingerprint groupBy runs once
