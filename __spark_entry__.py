@@ -683,6 +683,28 @@ def q_asof_click_before_purchase(spark, sf_dir):
                       F.col("click_value_asof"))
 
 
+def q_asof_skew_buckets(spark, sf_dir):
+    """The SAME as-of semantics through the two-phase bucketed carry
+    (``skew_buckets=8`` — r5 hot-key mitigation: per-(key, time-bucket)
+    windows + a boundary fix-up, so one pathological key parallelizes
+    instead of serializing into one task). Shares the plain path's DuckDB
+    ASOF LEFT JOIN oracle: the driver gate pins that the bucketed path is
+    bit-identical, not just pytest-parity."""
+    e = _t(spark, sf_dir, "events")
+    left = (e.where(F.col("event_type") == "purchase")
+            .select("event_id", "user_id", "ts", "value"))
+    cv = F.max("value")
+    right = (e.where(F.col("event_type") == "click")
+             .groupBy("user_id", "ts")
+             .agg(F.when(F.floor(cv * 100).cast("bigint") % 7 == 0,
+                         F.lit(None).cast("double"))
+                  .otherwise(cv).alias("click_value")))
+    out = asof.asof_join(left, right, on="user_id", ts="ts",
+                         right_value_cols=["click_value"], skew_buckets=8)
+    return out.select("event_id", "user_id", "value",
+                      F.col("click_value_asof"))
+
+
 def q_minhash_lsh_candidates(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return dedup.minhash_lsh_candidates(d, n=3, num_hashes=8, bands=4)
@@ -818,6 +840,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "drift_events_tdigest": q_drift_events_tdigest,
         "duplicate_clusters": q_duplicate_clusters,
         "asof_click_before_purchase": q_asof_click_before_purchase,
+        "asof_skew_buckets": q_asof_skew_buckets,
         "token_heavy_hitters": q_token_heavy_hitters,
         "quantity_quantiles": q_quantity_quantiles,
         "pii_redaction": q_pii_redaction,
@@ -1713,6 +1736,21 @@ def oracle_sql() -> dict[str, str]:
             FROM reach GROUP BY id
         """,
         "asof_click_before_purchase": """
+            WITH l AS (SELECT event_id, user_id, ts, value FROM events
+                       WHERE event_type = 'purchase'),
+            r AS (SELECT user_id, ts,
+                         CASE WHEN CAST(floor(max(value) * 100) AS BIGINT)
+                                   % 7 = 0
+                              THEN NULL ELSE max(value) END AS click_value
+                  FROM events WHERE event_type = 'click'
+                  GROUP BY user_id, ts)
+            SELECT l.event_id, l.user_id, l.value,
+                   r.click_value AS click_value_asof
+            FROM l ASOF LEFT JOIN r
+              ON l.user_id = r.user_id AND l.ts >= r.ts
+        """,
+        # the bucketed-carry variant must produce the identical result
+        "asof_skew_buckets": """
             WITH l AS (SELECT event_id, user_id, ts, value FROM events
                        WHERE event_type = 'purchase'),
             r AS (SELECT user_id, ts,

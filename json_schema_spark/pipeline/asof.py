@@ -130,7 +130,9 @@ def _bucketed_carry(u: DataFrame, keys: List[str],
 
     ts_type = u.schema["__ts"].dataType
     if isinstance(ts_type, (T.TimestampType, T.TimestampNTZType)):
-        num = F.unix_micros(F.col("__ts"))
+        # NTZ first casts to TIMESTAMP in the session zone — any fixed
+        # zone is a monotone map, which is all bucketing needs
+        num = F.unix_micros(F.col("__ts").cast("timestamp"))
     elif isinstance(ts_type, T.DateType):
         num = F.unix_date(F.col("__ts")).cast("bigint")
     else:
