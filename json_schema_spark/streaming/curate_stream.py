@@ -53,7 +53,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from ..pipeline.curate import annotate_and_filter
 from ..pipeline.dedup import duplicate_clusters, fingerprint, shingles
 from ..pipeline.sampling import hash_split
-from .lsh_stream import _hadoop_path_exists
+from .lsh_stream import _hadoop_path_exists, check_store_shards
 
 SHARD_COL = "shard"
 
@@ -91,6 +91,9 @@ def curate_stream(stream_df: DataFrame, out_dir: str, *,
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        # a shard-count change would silently break the pruned store
+        # reads — pinned per out_dir, loud mismatch (see check_store_shards)
+        check_store_shards(spark, f"{out_dir}/_jss_store_meta.json", n_shards)
         ann = annotate_and_filter(
             batch_df, min_tokens=min_tokens, max_dup_frac=max_dup_frac,
             langs=langs, jaccard_n=jaccard_n, text_col=text_col,

@@ -63,6 +63,40 @@ def _hadoop_path_exists(spark: SparkSession, path: str) -> bool:
     return bool(fs.exists(hpath))
 
 
+def check_store_shards(spark: SparkSession, meta_file: str,
+                       n_shards: int) -> None:
+    """Pin a store's shard count for its lifetime. Rows written under a
+    different ``n_shards`` land in other shard directories, and the pruned
+    read SILENTLY misses them — a wrong-answer class, not a crash — so the
+    first writer records n_shards in ``meta_file`` (a SIBLING of the store
+    directory, so parquet schema inference never sees it) and every later
+    open fails loudly on a mismatch."""
+    import json
+
+    jvm = spark._jvm
+    meta = jvm.org.apache.hadoop.fs.Path(meta_file)
+    fs = meta.getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.exists(meta):
+        stream = fs.open(meta)
+        try:
+            raw = bytes(stream.readAllBytes()).decode("utf-8")
+        finally:
+            stream.close()
+        recorded = json.loads(raw).get("n_shards")
+        if recorded != n_shards:
+            raise ValueError(
+                f"store meta {meta_file} records n_shards={recorded} but "
+                f"the store is being opened with n_shards={n_shards}: the "
+                f"pruned scan would silently miss rows. Re-use the "
+                f"original value or rebuild the store.")
+        return
+    out = fs.create(meta, True)
+    try:
+        out.write(bytearray(json.dumps({"n_shards": n_shards}), "utf-8"))
+    finally:
+        out.close()
+
+
 def with_shard(bands_df: DataFrame, n_shards: int) -> DataFrame:
     """Attach the store partition key: a stable hash-shard of the LSH join
     key. Computed identically at write and read time, so the per-batch
@@ -101,13 +135,17 @@ def lsh_candidates_stream(stream_df: DataFrame, store_path: str,
     ``n_shards`` sizes the store's partition layout (see module
     docstring); it must stay CONSTANT for the lifetime of a store — rows
     written under a different shard count land in the wrong directories
-    and silently miss the pruned join. At cluster scale pick n_shards ≈
+    and silently miss the pruned join. The first batch records the value
+    in ``<store>.shards.json`` and later opens with a different value
+    FAIL LOUDLY (:func:`check_store_shards`). At cluster scale pick n_shards ≈
     store_size / target_partition_size (e.g. a few thousand); the
     driver-side per-batch collect is O(n_shards) longs.
     """
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        check_store_shards(spark, store_path.rstrip("/") + ".shards.json",
+                           n_shards)
         counts = None
         bb = with_shard(
             minhash_bands(batch_df, n, num_hashes, bands, text_col, id_col),

@@ -453,3 +453,18 @@ def test_streaming_curation_matches_batch(spark, tmp_path):
 
     got = {tuple(r) for r in curated_survivors(spark, out_dir).collect()}
     assert got == want
+
+
+def test_store_shard_count_pinned(spark, tmp_path):
+    """A store created under one n_shards must refuse to open under
+    another — rows would land in (and be pruned from) the wrong shard
+    directories, a silent wrong-answer class."""
+    import pytest as _pytest
+
+    from json_schema_spark.streaming.lsh_stream import check_store_shards
+
+    meta = str(tmp_path / "store.shards.json")
+    check_store_shards(spark, meta, 64)   # first open records
+    check_store_shards(spark, meta, 64)   # same value: fine
+    with _pytest.raises(ValueError, match="n_shards=64"):
+        check_store_shards(spark, meta, 32)
