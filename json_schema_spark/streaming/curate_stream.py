@@ -41,7 +41,10 @@ max_shingle_freq=None)``.
 
 foreachBatch is at-least-once: on restart a replayed batch re-appends
 rows to every store; ``curated_survivors`` dedups (``kept`` on doc_id,
-pairs on the pair key), so replays do not change the final set.
+pairs on the pair key) and the per-batch shingle/size store reads
+dedup their pruned subsets (a doubled (doc, shingle) row would inflate
+``common`` — wrong Jaccard, not just wasted bytes), so replays do not
+change the final set.
 """
 
 from __future__ import annotations
@@ -125,8 +128,13 @@ def curate_stream(stream_df: DataFrame, out_dir: str, *,
             olds = [new.select(F.col("id_new").alias("id_old"), "shingle")]
             store_sh = _pruned_read(spark, sh_path, sh_b)
             if store_sh is not None:
+                # dropDuplicates over the PRUNED subset: an at-least-once
+                # replay re-appends a batch's shingle rows, and duplicated
+                # (doc, shingle) rows would inflate `common` — i.e. wrong
+                # jaccard values, not just wasted bytes
                 olds.append(store_sh.select(F.col(id_col).alias("id_old"),
-                                            "shingle"))
+                                            "shingle")
+                            .dropDuplicates(["id_old", "shingle"]))
             other = olds[0] if len(olds) == 1 else olds[0].unionByName(olds[1])
             common = (new.join(other, "shingle")
                       .where(F.col("id_new") != F.col("id_old"))
@@ -134,7 +142,9 @@ def curate_stream(stream_df: DataFrame, out_dir: str, *,
                       .agg(F.count(F.lit(1)).alias("common")))
             sizes_all = [sz_b]
             if _hadoop_path_exists(spark, sz_path):
-                sizes_all.append(spark.read.parquet(sz_path))
+                # same replay hazard: a doc's size row must count once
+                sizes_all.append(spark.read.parquet(sz_path)
+                                 .dropDuplicates([id_col]))
             sizes = (sizes_all[0] if len(sizes_all) == 1
                      else sizes_all[0].unionByName(sizes_all[1]))
             sa = sizes.select(F.col(id_col).alias("id_new"),

@@ -468,3 +468,78 @@ def test_store_shard_count_pinned(spark, tmp_path):
     check_store_shards(spark, meta, 64)   # same value: fine
     with _pytest.raises(ValueError, match="n_shards=64"):
         check_store_shards(spark, meta, 32)
+
+
+def test_streaming_curation_replay_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once: a replayed batch re-appends its rows
+    to every store. Simulate a full replay by re-appending ALL store
+    contents mid-stream, then process one more micro-batch whose doc
+    near-dups an already-kept doc — the duplicated (doc, shingle)/size
+    rows must not distort the new batch's jaccard, and the finalizer must
+    return exactly the batch curate_corpus result."""
+    import time
+
+    from json_schema_spark.pipeline import cache
+    from json_schema_spark.pipeline.curate import curate_corpus
+    from json_schema_spark.streaming.curate_stream import (
+        SHARD_COL, curate_stream, curated_survivors)
+
+    rows1 = [
+        (1, "the first of the standalone documents about a river and the sea"),
+        (2, "the second of the standalone documents about a hill and the sky"),
+    ]
+    # 50 near-dups doc 2 (one extra token); 51 is unrelated
+    rows2 = [
+        (50, "the second of the standalone documents about a hill and the sky indeed"),
+        (51, "the closing of all entries and a final remark to the reader of it"),
+    ]
+    params = dict(min_tokens=6, max_dup_frac=0.5, langs=("en",),
+                  jaccard_n=3, jaccard_threshold=0.5)
+    schema = "doc_id bigint, text string"
+
+    path = tmp_path / "replay_docs"
+    path.mkdir()
+    spark.createDataFrame(rows1, schema).coalesce(1) \
+        .write.parquet(str(path / "b0"))
+    out_dir = str(tmp_path / "replay_out")
+    ckpt = str(tmp_path / "replay_ckpt")
+
+    def run_once():
+        stream = (spark.readStream.schema(schema)
+                  .option("maxFilesPerTrigger", 1).parquet(str(path / "b*")))
+        q = (curate_stream(stream, out_dir, **params, n_shards=16)
+             .option("checkpointLocation", ckpt).start())
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    run_once()
+
+    # simulate an at-least-once replay of everything processed so far
+    for sub, part in (("kept", None), ("fp_store", SHARD_COL),
+                      ("shingle_store", SHARD_COL), ("sizes", None),
+                      ("pairs", None)):
+        p = f"{out_dir}/{sub}"
+        import os
+        if not os.path.exists(p):
+            continue
+        dup = spark.read.parquet(p)
+        w = dup.write.mode("append")
+        if part:
+            w = w.partitionBy(part)
+        w.parquet(p)
+
+    time.sleep(1.1)
+    spark.createDataFrame(rows2, schema).coalesce(1) \
+        .write.parquet(str(path / "b1"))
+    run_once()  # same checkpoint: only the new file is processed
+
+    got = {tuple(r) for r in curated_survivors(spark, out_dir).collect()}
+    static = spark.createDataFrame(rows1 + rows2, schema)
+    bout = curate_corpus(static, max_shingle_freq=None, **params)
+    want = {tuple(r) for r in bout.collect()}
+    cache.release(bout)
+    assert got == want
+    ids = {t[0] for t in got}
+    assert 2 in ids and 50 not in ids, ids  # the cross-batch pair formed
