@@ -600,6 +600,37 @@ def q_packed_sequences(spark, sf_dir):
             .select("doc_id", "chunk_idx", "shard", "seq_id", "seq_offset"))
 
 
+def q_classifier_scores(spark, sf_dir):
+    """Model-based quality filtering (CCNet/fastText shape): hashed
+    bag-of-words linear classifier — md5 token hash -> 4096 feature
+    buckets (small on purpose: collisions fold weights, exercising the
+    hashing trick), deterministic integer bucket weights, EXACT bigint
+    weight sum per doc (map-side-combined, one doc-sized shuffle, zero
+    UDFs), logit = one double division. Threshold 0.02 splits keep_doc
+    non-trivially (~1/3 kept)."""
+    d = _t(spark, sf_dir, "documents")
+    return text_ops.classifier_score(d, seed=42, n_buckets=4096,
+                                     threshold=0.02)
+
+
+def q_domain_budget_sample(spark, sf_dir):
+    """Per-domain budgeted best-first selection (data mixing): each
+    source keeps its highest-logit docs until a 700-token budget is
+    spent (score from the hashed classifier, domain carried through the
+    scoring aggregation as a group key — no re-join). Runs the TWO-PHASE
+    path (shard-local exact pre-prune, prefilter_shards=4, then the
+    global window) while the oracle is the plain single-window SQL — the
+    hash gate pins the prune's exactness."""
+    from json_schema_spark.pipeline import sampling
+
+    d = _t(spark, sf_dir, "documents")
+    scored = text_ops.classifier_score(d, seed=42, n_buckets=4096,
+                                       passthrough_cols=("source",))
+    return (sampling.domain_top_quality(scored, budget=700,
+                                        prefilter_shards=4)
+            .select("doc_id", "source", "n_tokens", "logit", "cum_tokens"))
+
+
 def q_contamination(spark, sf_dir):
     """Benchmark decontamination: corpus docs sharing ≥1 distinct word
     8-gram with a probe set (here: the docs with doc_id % 200 == 3 stand
@@ -850,6 +881,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination": q_contamination,
         "stratified_sample": q_stratified_sample,
         "packed_sequences": q_packed_sequences,
+        "classifier_scores": q_classifier_scores,
+        "domain_budget_sample": q_domain_budget_sample,
         "train_val_split": q_train_val_split,
         "deep_validate_props": q_deep_validate_props,
         "detect_mode": q_detect_mode,
@@ -1674,6 +1707,52 @@ def oracle_sql() -> dict[str, str]:
                    CAST((running - n_tokens) // 128 AS INT) AS seq_id,
                    CAST((running - n_tokens) % 128 AS INT) AS seq_offset
             FROM run
+        """,
+        "classifier_scores": f"""
+            WITH toks AS (SELECT doc_id, {_TOKENS} AS l FROM documents),
+            tok AS (SELECT doc_id, len(l) AS n_tokens, unnest(l) AS tok
+                    FROM toks),
+            w AS (SELECT doc_id, n_tokens,
+                         ({_MD5_INT.format(
+                             x="concat('clfw_42_', CAST("
+                               + _MD5_INT.format(x="concat('clf_42_', tok)")
+                               + " % 4096 AS VARCHAR))")}
+                          % 2001) - 1000 AS w
+                  FROM tok)
+            SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens,
+                   CAST(sum(w) AS BIGINT) AS sum_w,
+                   CAST(sum(w) AS DOUBLE) / (1000.0 * n_tokens) AS logit,
+                   CAST(sum(w) AS DOUBLE) / (1000.0 * n_tokens) >= 0.02
+                       AS keep_doc
+            FROM w GROUP BY doc_id, n_tokens
+        """,
+        "domain_budget_sample": f"""
+            WITH toks AS (SELECT doc_id, source, {_TOKENS} AS l
+                          FROM documents),
+            tok AS (SELECT doc_id, source, len(l) AS n_tokens,
+                           unnest(l) AS tok
+                    FROM toks),
+            w AS (SELECT doc_id, source, n_tokens,
+                         ({_MD5_INT.format(
+                             x="concat('clfw_42_', CAST("
+                               + _MD5_INT.format(x="concat('clf_42_', tok)")
+                               + " % 4096 AS VARCHAR))")}
+                          % 2001) - 1000 AS w
+                  FROM tok),
+            scored AS (
+                SELECT doc_id, source, CAST(n_tokens AS INT) AS n_tokens,
+                       CAST(sum(w) AS DOUBLE) / (1000.0 * n_tokens) AS logit
+                FROM w GROUP BY doc_id, source, n_tokens
+            ),
+            run AS (
+                SELECT *, sum(n_tokens) OVER (PARTITION BY source
+                              ORDER BY logit DESC, doc_id
+                              ROWS UNBOUNDED PRECEDING) AS cum_tokens
+                FROM scored
+            )
+            SELECT doc_id, source, n_tokens, logit,
+                   CAST(cum_tokens AS BIGINT) AS cum_tokens
+            FROM run WHERE cum_tokens <= 700
         """,
         "contamination": f"""
             WITH toks AS (SELECT doc_id, {_TOKENS} AS l FROM documents),

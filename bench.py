@@ -64,6 +64,8 @@ BENCH_QUERIES = [
     "contamination",
     "stratified_sample",
     "packed_sequences",
+    "classifier_scores",
+    "domain_budget_sample",
 ]
 
 

@@ -91,3 +91,60 @@ def stratified_hash_sample(df: DataFrame, fractions: Dict[str, float],
         cut = F.when(F.col(strata_col) == name,
                      F.lit(int(round(frac * _BUCKETS)))).otherwise(cut)
     return df.where(hash_bucket(F.col(id_col), seed, "sample") < cut)
+
+
+def domain_top_quality(df: DataFrame, budget: int,
+                       score_col: str = "logit",
+                       tokens_col: str = "n_tokens",
+                       domain_col: str = "source",
+                       id_col: str = "doc_id",
+                       prefilter_shards: Optional[int] = None) -> DataFrame:
+    """Per-domain budgeted best-first selection — the data-mixing step
+    that picks each domain's highest-quality documents until a per-domain
+    token budget is spent (e.g. 'up to 10B tokens per domain, best docs
+    first'). A document is kept iff the running token total over
+    strictly-better documents of its domain, including itself, fits the
+    budget; ordering is (score DESC, id ASC) so ties are deterministic
+    and the result is a pure function of the input on any engine.
+    Adds ``cum_tokens`` (the inclusive running total) to the kept rows.
+
+    Scale shape: one window per domain (single shuffle on the domain
+    key). A hot domain serializes through one task — the same bound
+    documented on pack_sequences/asof — so ``prefilter_shards=N`` adds a
+    shard-local pre-prune: the same budgeted window inside
+    (domain, md5-shard of id) first, then the exact global window over
+    survivors. The prune is EXACT, never approximate: a shard sees a
+    subset of its domain, so a doc's shard-local running total is ≤ its
+    global running total — every globally-kept doc is shard-locally kept
+    too, and the survivor set (≤ shards · budget/min_doc_tokens rows per
+    domain) is a superset of the answer. The driver oracle compares this
+    two-phase path against the plain single-window SQL, pinning the
+    equivalence."""
+    from pyspark.sql import Window
+
+    from .dedup import md5_int
+
+    if budget <= 0:
+        raise ValueError("budget must be a positive token count")
+    if "cum_tokens" in df.columns:
+        raise ValueError(
+            "domain_top_quality output column 'cum_tokens' already exists "
+            "— rename or drop it first (silent overwrite would discard a "
+            "previous selection's totals)")
+
+    def budgeted(frame: DataFrame, extra_key) -> DataFrame:
+        keys = [F.col(domain_col)] + ([extra_key] if extra_key is not None
+                                      else [])
+        w = (Window.partitionBy(*keys)
+             .orderBy(F.col(score_col).desc(), F.col(id_col).asc())
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        run = F.sum(F.col(tokens_col)).over(w)
+        return (frame.withColumn("cum_tokens", run)
+                .where(F.col("cum_tokens") <= F.lit(budget)))
+
+    if prefilter_shards is not None:
+        shard = F.pmod(md5_int(F.concat(F.lit("dtq_"),
+                                        F.col(id_col).cast("string"))),
+                       F.lit(int(prefilter_shards)))
+        df = budgeted(df, shard).drop("cum_tokens")
+    return budgeted(df, None)

@@ -374,3 +374,57 @@ def pack_sequences(df: DataFrame, budget: int = 2048,
     start = running - F.col(tokens_col)
     return (df.withColumn("seq_id", F.floor(start / F.lit(budget)).cast("int"))
             .withColumn("seq_offset", (start % F.lit(budget)).cast("int")))
+
+
+def classifier_score(df: DataFrame, seed: int = 42,
+                     n_buckets: int = 1 << 18, threshold: float = 0.0,
+                     text_col: str = "text", id_col: str = "doc_id",
+                     passthrough_cols=()) -> DataFrame:
+    """Hashed bag-of-words linear classifier score per document — the
+    model-based quality-filter shape (CCNet / fastText-style: hash each
+    token into a feature bucket, sum the bucket weights, threshold the
+    logit). Weights here are derived deterministically from the bucket id
+    (md5 → integer in [-1000, 1000]) so tests and the DuckDB oracle can
+    reproduce scores bit-for-bit; serving a TRAINED model swaps only the
+    weight expression for a broadcast weight-array lookup
+    (``F.element_at(F.lit(weights), bucket + 1)``) — the plan shape
+    (explode → map-side-combined sum, one doc-sized shuffle) is identical.
+
+    Determinism: the per-doc weight sum is an EXACT BIGINT (float sums
+    reorder under parallel aggregation); the logit is one double division
+    ``sum_w / (1000 · n_tokens)`` — correctly rounded and identical in
+    any IEEE engine, no transcendentals. ``keep_doc = logit >= threshold``.
+
+    Scale shape: tokenize + hash stay row-local inside the scan
+    (whole-stage codegen, no UDF); explode feeds a groupBy on the id whose
+    partial aggregation combines each doc's tokens map-side, so the
+    shuffle carries one row per (doc, partition) — O(docs), not O(tokens).
+    ``n_buckets`` bounds the feature space exactly as in the trained-model
+    case (collisions fold weights, the standard hashing-trick tradeoff).
+    ``passthrough_cols`` carries doc-constant columns (e.g. the domain)
+    through the aggregation as extra group keys — free, and cheaper than
+    re-joining them on afterwards.
+    """
+    from .dedup import md5_int
+
+    if n_buckets <= 0:
+        raise ValueError("n_buckets must be positive")
+    passthrough = list(passthrough_cols)
+    toks = tokens(F.col(text_col))
+    base = df.select(F.col(id_col), *[F.col(c) for c in passthrough],
+                     F.size(toks).alias("n_tokens"),
+                     F.explode(toks).alias("__tok"))
+    bucket = F.pmod(md5_int(F.concat(F.lit(f"clf_{seed}_"),
+                                     F.col("__tok"))),
+                    F.lit(n_buckets))
+    weight = (F.pmod(md5_int(F.concat(F.lit(f"clfw_{seed}_"),
+                                      bucket.cast("string"))),
+                     F.lit(2001)) - F.lit(1000))
+    agg = (base.groupBy(id_col, *passthrough, "n_tokens")
+           .agg(F.sum(weight).alias("sum_w")))
+    logit = (F.col("sum_w").cast("double")
+             / (F.lit(1000.0) * F.col("n_tokens").cast("double")))
+    return agg.select(
+        F.col(id_col), *[F.col(c) for c in passthrough],
+        F.col("n_tokens"), F.col("sum_w"), logit.alias("logit"),
+        (logit >= F.lit(float(threshold))).alias("keep_doc"))

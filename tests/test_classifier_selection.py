@@ -1,0 +1,87 @@
+"""classifier_score + domain_top_quality op-level properties: handcrafted
+budget semantics, two-phase prefilter parity under a 100x hot domain,
+partition-invariance of the exact integer weight sum, and argument guards.
+(The DuckDB value cross-check at sf0.01 runs via test_entry_oracle.py.)"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from json_schema_spark.pipeline.sampling import domain_top_quality
+from json_schema_spark.pipeline.text import classifier_score
+
+
+def _scored(spark, rows):
+    return spark.createDataFrame(
+        rows, "doc_id bigint, source string, n_tokens int, logit double")
+
+
+def test_domain_budget_semantics(spark):
+    """Best-first within each domain, inclusive running total <= budget:
+    a doc that would overflow the budget is dropped even if a SMALLER
+    later doc would still fit (budgeted prefix, not knapsack)."""
+    rows = [
+        (1, "a", 50, 0.9),   # cum 50  -> kept
+        (2, "a", 40, 0.8),   # cum 90  -> kept
+        (3, "a", 20, 0.7),   # cum 110 -> dropped (overflows)
+        (4, "a", 5, 0.6),    # cum 115 -> dropped (prefix, not knapsack)
+        (5, "b", 100, 0.1),  # cum 100 -> kept (exactly the budget)
+        (6, "b", 1, 0.05),   # cum 101 -> dropped
+    ]
+    out = domain_top_quality(_scored(spark, rows), budget=100)
+    got = {(r.doc_id, r.cum_tokens) for r in out.collect()}
+    assert got == {(1, 50), (2, 90), (5, 100)}
+
+
+def test_domain_budget_tiebreak_deterministic(spark):
+    """Equal logits break by doc_id ASC, so which doc survives a budget
+    boundary is a pure function of the input."""
+    rows = [(i, "a", 60, 0.5) for i in (9, 3, 7)]
+    out = domain_top_quality(_scored(spark, rows), budget=120)
+    assert sorted(r.doc_id for r in out.collect()) == [3, 7]
+
+
+def test_prefilter_parity_hot_domain(spark):
+    """The shard-local pre-prune is exact: a domain with 100x the rows of
+    the others must yield the identical kept set with and without
+    prefilter_shards (every globally-kept row is shard-locally kept —
+    subset running totals never exceed global ones)."""
+    rows = [(i, "hot", 3 + i % 7, float((i * 37) % 100) / 100)
+            for i in range(500)]
+    rows += [(1000 + i, "cold", 10, float(i) / 10) for i in range(5)]
+    df = _scored(spark, rows)
+    plain = domain_top_quality(df, budget=300)
+    pre = domain_top_quality(df, budget=300, prefilter_shards=8)
+    assert sorted(map(tuple, plain.collect())) == \
+        sorted(map(tuple, pre.collect()))
+    kept_hot = plain.where(F.col("source") == "hot").count()
+    assert 0 < kept_hot < 500  # the budget actually bit on the hot domain
+
+
+def test_classifier_partition_invariant(spark):
+    """The per-doc weight sum is an exact BIGINT — identical on any
+    partitioning (a float sum would reorder under parallel aggregation)."""
+    docs = [(i, f"alpha beta g{i} delta " * (1 + i % 4)) for i in range(40)]
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    a = classifier_score(df.coalesce(1), n_buckets=64)
+    b = classifier_score(df.repartition(7), n_buckets=64)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_classifier_passthrough_and_guards(spark):
+    df = spark.createDataFrame([(1, "x", "one two"), (2, "y", "three")],
+                               "doc_id bigint, source string, text string")
+    out = classifier_score(df, passthrough_cols=("source",))
+    assert {(r.doc_id, r.source, r.n_tokens) for r in out.collect()} == \
+        {(1, "x", 2), (2, "y", 1)}
+    with pytest.raises(ValueError, match="n_buckets"):
+        classifier_score(df, n_buckets=0)
+    with pytest.raises(ValueError, match="budget"):
+        domain_top_quality(_scored(spark, []), budget=0)
+
+
+def test_classifier_no_python_udf(spark):
+    """The scoring plan stays JVM-side: no BatchEvalPython / ArrowEval
+    nodes (tokenize, hash, weight, and the doc aggregate all codegen)."""
+    df = spark.createDataFrame([(1, "a b c")], "doc_id bigint, text string")
+    plan = classifier_score(df)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
