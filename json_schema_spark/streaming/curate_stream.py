@@ -40,11 +40,26 @@ Jaccard instead — compare against ``curate_corpus(...,
 max_shingle_freq=None)``.
 
 foreachBatch is at-least-once: on restart a replayed batch re-appends
-rows to every store; ``curated_survivors`` dedups (``kept`` on doc_id,
-pairs on the pair key) and the per-batch shingle/size store reads
-dedup their pruned subsets (a doubled (doc, shingle) row would inflate
-``common`` — wrong Jaccard, not just wasted bytes), so replays do not
-change the final set.
+rows to every store, and a PARTIAL failure can leave any prefix of the
+five appends committed. Three defenses make replay a no-op:
+
+- ``curated_survivors`` dedups (``kept`` on doc_id, pairs on the pair
+  key);
+- the fingerprint store carries ``batch_id`` and the exact-dedup
+  anti-join ignores rows the CURRENT batch wrote: without this, a
+  failure after the fp_store append makes the replay's anti-join drop
+  the whole batch — its shingle/size rows are then never written and
+  every future near-dup pair against those documents is silently lost
+  (kept survivors that curate_corpus would have removed);
+- the shingle/size store reads dedup ACROSS the batch∪store union, not
+  just within the store: after a failure past the shingle append the
+  replayed batch's rows sit in both branches, and a doubled
+  (doc, shingle) row inflates ``common`` — wrong Jaccard for
+  batch-internal pairs, not just wasted bytes.
+
+Replay determinism relies on the Structured Streaming contract that a
+replayed batch_id re-delivers the same rows (true for replayable
+sources — files, Kafka).
 """
 
 from __future__ import annotations
@@ -114,6 +129,13 @@ def curate_stream(stream_df: DataFrame, out_dir: str, *,
         try:
             store_fp = _pruned_read(spark, fp_path, cand)
             if store_fp is not None:
+                # ignore rows THIS batch wrote (partial-failure replay):
+                # the replayed batch's own fps are "already seen" otherwise
+                # and the whole batch vanishes before its shingle/size
+                # appends — see the module docstring
+                if "batch_id" in store_fp.columns:
+                    store_fp = store_fp.where(
+                        F.col("batch_id") != F.lit(batch_id))
                 batch_kept = cand.join(
                     store_fp.select("fp"), "fp", "left_anti").persist()
 
@@ -128,25 +150,28 @@ def curate_stream(stream_df: DataFrame, out_dir: str, *,
             olds = [new.select(F.col("id_new").alias("id_old"), "shingle")]
             store_sh = _pruned_read(spark, sh_path, sh_b)
             if store_sh is not None:
-                # dropDuplicates over the PRUNED subset: an at-least-once
-                # replay re-appends a batch's shingle rows, and duplicated
-                # (doc, shingle) rows would inflate `common` — i.e. wrong
-                # jaccard values, not just wasted bytes
                 olds.append(store_sh.select(F.col(id_col).alias("id_old"),
-                                            "shingle")
-                            .dropDuplicates(["id_old", "shingle"]))
+                                            "shingle"))
             other = olds[0] if len(olds) == 1 else olds[0].unionByName(olds[1])
+            if store_sh is not None:
+                # dedup across the batch∪store UNION, not just the store:
+                # a partial-failure replay leaves the batch's rows in BOTH
+                # branches, and any doubled (doc, shingle) row inflates
+                # `common` — wrong Jaccard, not just wasted bytes
+                other = other.dropDuplicates(["id_old", "shingle"])
             common = (new.join(other, "shingle")
                       .where(F.col("id_new") != F.col("id_old"))
                       .groupBy("id_new", "id_old")
                       .agg(F.count(F.lit(1)).alias("common")))
             sizes_all = [sz_b]
             if _hadoop_path_exists(spark, sz_path):
-                # same replay hazard: a doc's size row must count once
-                sizes_all.append(spark.read.parquet(sz_path)
-                                 .dropDuplicates([id_col]))
+                sizes_all.append(spark.read.parquet(sz_path))
             sizes = (sizes_all[0] if len(sizes_all) == 1
-                     else sizes_all[0].unionByName(sizes_all[1]))
+                     else sizes_all[0].unionByName(sizes_all[1])
+                     # union-level dedup — same partial-replay hazard as
+                     # the shingle branch; duplicate rows agree on n_sh,
+                     # so keeping an arbitrary one is sound
+                     .dropDuplicates([id_col]))
             sa = sizes.select(F.col(id_col).alias("id_new"),
                               F.col("n_sh").alias("na"))
             sb = sizes.select(F.col(id_col).alias("id_old"),
@@ -167,8 +192,9 @@ def curate_stream(stream_df: DataFrame, out_dir: str, *,
             (batch_kept.select(id_col, "lang", "n_tokens",
                                F.round("__dup_frac", 6).alias("dup_frac_r6"))
              .write.mode("append").parquet(kept_path))
-            batch_kept.select("fp", SHARD_COL) \
-                .write.mode("append").partitionBy(SHARD_COL).parquet(fp_path)
+            (batch_kept.select("fp", SHARD_COL)
+             .withColumn("batch_id", F.lit(batch_id))
+             .write.mode("append").partitionBy(SHARD_COL).parquet(fp_path))
             sh_b.write.mode("append").partitionBy(SHARD_COL).parquet(sh_path)
             sz_b.write.mode("append").parquet(sz_path)
         finally:

@@ -165,7 +165,7 @@ def lsh_candidates_stream(stream_df: DataFrame, store_path: str,
                 capped_new = bb
             else:
                 capped_new, counts = cap_bucket_fanout_combined(
-                    bb, combined, max_bucket_size, batch_id)
+                    bb, combined, max_bucket_size, batch_id, id_col=id_col)
             new_a = capped_new.select(F.col(id_col).alias("id_a"),
                                       "band", "bucket")
             new_b = capped_new.select(F.col(id_col).alias("id_b"),
@@ -197,14 +197,23 @@ def lsh_candidates_stream(stream_df: DataFrame, store_path: str,
 
 def cap_bucket_fanout_combined(bb: DataFrame, combined: DataFrame,
                                max_bucket_size: int,
-                               batch_id: int = -1):
+                               batch_id: int = -1,
+                               id_col: str = "doc_id"):
     """Streaming cap variant: size a bucket by the WHOLE corpus seen so far
     (store + batch), not just the batch — a degenerate bucket grows across
     micro-batches, and capping on batch-local size would let every batch
     re-join against a million-row store bucket. Same no-silent-caps
     contract as the batch ``cap_bucket_fanout``: a WARNING per micro-batch
-    reports how many oversized buckets gated emission."""
-    big = (combined.groupBy("band", "bucket")
+    reports how many oversized buckets gated emission.
+
+    Sizes dedup on (id, band, bucket) first: an at-least-once replay
+    re-appends a batch's signature rows to the store, and double-counted
+    rows would permanently inflate bucket sizes past the cap (emission
+    gated forever on a bucket that is actually under it). The join side
+    needs no such dedup — duplicate store rows only produce duplicate
+    pairs, which ``distinct()`` drops before the write."""
+    big = (combined.dropDuplicates([id_col, "band", "bucket"])
+           .groupBy("band", "bucket")
            .agg(F.count(F.lit(1)).alias("__bsz"))
            .where(F.col("__bsz") > max_bucket_size)
            .select("band", "bucket").persist())

@@ -543,3 +543,89 @@ def test_streaming_curation_replay_idempotent(spark, tmp_path):
     assert got == want
     ids = {t[0] for t in got}
     assert 2 in ids and 50 not in ids, ids  # the cross-batch pair formed
+
+
+def test_streaming_curation_partial_replay(spark, tmp_path):
+    """Commit order is pairs -> kept -> fp_store -> shingles -> sizes, so
+    the harmful partial failure is 'fp_store appended, shingle/size
+    appends lost'. On replay the batch's own fps are already in the
+    store; without the batch_id exclusion the anti-join drops the whole
+    batch, its shingles are never written, and a LATER batch's near-dup
+    of one of its docs silently fails to pair. Simulate the failed
+    attempt, replay, then deliver the later near-dup and require full
+    parity with batch curate_corpus."""
+    import time
+
+    from json_schema_spark.pipeline import cache
+    from json_schema_spark.pipeline.curate import (annotate_and_filter,
+                                                   curate_corpus)
+    from json_schema_spark.pipeline.dedup import fingerprint, shingles
+    from json_schema_spark.streaming.curate_stream import (
+        SHARD_COL, curate_stream, curated_survivors)
+
+    rows0 = [
+        (1, "the first of the standalone documents about a river and the sea"),
+        (2, "the second of the standalone documents about a hill and the sky"),
+    ]
+    rows1 = [
+        (50, "an unrelated treatise on the cooking of beans and rice at altitude"),
+        (51, "the closing of all entries and a final remark to the reader of it"),
+    ]
+    # 90 near-dups doc 51 (one extra token) — arrives AFTER the replay
+    rows2 = [
+        (90, "the closing of all entries and a final remark to the reader of it truly"),
+    ]
+    params = dict(min_tokens=6, max_dup_frac=0.5, langs=("en",),
+                  jaccard_n=3, jaccard_threshold=0.5)
+    schema = "doc_id bigint, text string"
+    path = tmp_path / "preplay_docs"
+    path.mkdir()
+    out_dir = str(tmp_path / "preplay_out")
+    ckpt = str(tmp_path / "preplay_ckpt")
+
+    def run_once():
+        stream = (spark.readStream.schema(schema)
+                  .option("maxFilesPerTrigger", 1).parquet(str(path / "b*")))
+        q = (curate_stream(stream, out_dir, **params, n_shards=16)
+             .option("checkpointLocation", ckpt).start())
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    spark.createDataFrame(rows0, schema).coalesce(1) \
+        .write.parquet(str(path / "b0"))
+    run_once()  # batch 0
+
+    # failed attempt of batch 1: pairs (none — both docs standalone),
+    # kept, and fp_store committed; shingle/size appends lost
+    b1 = spark.createDataFrame(rows1, schema)
+    ann = annotate_and_filter(b1, **{k: v for k, v in params.items()
+                                     if k != "jaccard_threshold"})
+    (ann.select("doc_id", "lang", "n_tokens",
+                F.round("__dup_frac", 6).alias("dup_frac_r6"))
+     .write.mode("append").parquet(f"{out_dir}/kept"))
+    (ann.withColumn("fp", fingerprint(F.col("text")))
+     .select("fp")
+     .withColumn(SHARD_COL, F.pmod(F.xxhash64("fp"), F.lit(16)))
+     .withColumn("batch_id", F.lit(1))
+     .write.mode("append").partitionBy(SHARD_COL).parquet(f"{out_dir}/fp_store"))
+
+    time.sleep(1.1)
+    spark.createDataFrame(rows1, schema).coalesce(1) \
+        .write.parquet(str(path / "b1"))
+    run_once()  # batch 1 — the REPLAY of the failed attempt
+
+    time.sleep(1.1)
+    spark.createDataFrame(rows2, schema).coalesce(1) \
+        .write.parquet(str(path / "b2"))
+    run_once()  # batch 2 — must pair 90 with the replayed 51
+
+    got = {tuple(r) for r in curated_survivors(spark, out_dir).collect()}
+    static = spark.createDataFrame(rows0 + rows1 + rows2, schema)
+    bout = curate_corpus(static, max_shingle_freq=None, **params)
+    want = {tuple(r) for r in bout.collect()}
+    cache.release(bout)
+    assert got == want
+    ids = {t[0] for t in got}
+    assert 51 in ids and 90 not in ids, ids  # the post-replay pair formed
