@@ -685,6 +685,75 @@ def q_duplicate_clusters(spark, sf_dir):
     return dedup.duplicate_clusters(pairs)
 
 
+_BOILER_NEWSLETTER = "subscribe to our newsletter today"
+_BOILER_FOOTER = "all rights reserved - example corp"
+
+
+def _multiline_docs(d):
+    """Deterministic multi-line re-layout of the single-line synthetic
+    corpus + planted cross-document boilerplate lines. The generated
+    documents contain no newlines, so without this construction line-level
+    dedup is vacuously a no-op; the DuckDB oracle performs the identical
+    construction (same substr windows, same CASE plants), so both engines
+    see the same line corpus. ~1/7 of docs get a newsletter line, ~1/3 a
+    footer line — both cross many documents and must be removed; the
+    substr body lines are (near-)unique and must survive."""
+    did = F.col("doc_id")
+    t = F.col("text")
+    return d.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.substring(t, 1, 60),
+            F.when(did % 7 == F.lit(2), F.lit(_BOILER_NEWSLETTER)),
+            F.substring(t, 61, 60),
+            F.when(did % 3 == F.lit(0), F.lit(_BOILER_FOOTER)),
+            F.substring(t, 121, 60),
+        ).alias("text"))
+
+
+def q_dedup_lines(spark, sf_dir):
+    """Corpus-level duplicate-line removal (C4 / RefinedWeb boilerplate
+    pass), drop-every-copy mode: lines whose trimmed text appears in >1
+    distinct documents are removed everywhere; short/blank lines are
+    structural and immune. One map-side-combined frequency shuffle + one
+    key join + one per-doc reassembly — no global window. The oracle
+    recomputes frequencies, marking, and reassembly independently."""
+    d = _t(spark, sf_dir, "documents")
+    return dedup.line_dedup(_multiline_docs(d), min_line_chars=5,
+                            max_doc_freq=1, keep_first=False)
+
+
+def q_dedup_lines_keep_first(spark, sf_dir):
+    """C4's keep-one-copy variant: the occurrence with the smallest
+    (doc_id, position) survives, every other copy is removed — still
+    fully deterministic (the keeper is a min, not a scan order)."""
+    d = _t(spark, sf_dir, "documents")
+    return dedup.line_dedup(_multiline_docs(d), min_line_chars=5,
+                            max_doc_freq=1, keep_first=True)
+
+
+def q_semantic_dedup(spark, sf_dir):
+    """SemDeDup-shaped semantic dedup: md5-sampled coarse centroids
+    (ivf_assignments), within-cluster exact-cosine pairs at 0.9,
+    connected components, keep = component-min representative. Planted
+    near-dup clones (the same vec_id % 100 == 3 / +2^-6 shift as
+    embedding_near_dups — exact in IEEE) de-vacuize: each clone
+    co-clusters with its source and loses to the lower id, so the output
+    pins 5 keep=false rows at sf0.01."""
+    emb = _t(spark, sf_dir, "embeddings")
+    e = F.col("embedding")
+    planted = emb.where(F.col("vec_id") % 100 == 3).select(
+        (F.col("vec_id") + F.lit(1_000_000)).alias("vec_id"),
+        F.concat(
+            F.array((F.element_at(e, 1).cast("double")
+                     + F.lit(0.015625)).cast("float")),
+            F.slice(e, 2, F.size(e) - 1),
+        ).alias("embedding"))
+    corpus = emb.select("vec_id", "embedding").unionByName(planted)
+    return similarity.semantic_dedup(corpus, threshold=0.9, n_centroids=16)
+
+
 def q_asof_click_before_purchase(spark, sf_dir):
     """As-of join: each purchase event picks up the most recent click value
     at-or-before its timestamp for the same user (union + running-last
@@ -870,6 +939,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "drift_events": q_drift_events,
         "drift_events_tdigest": q_drift_events_tdigest,
         "duplicate_clusters": q_duplicate_clusters,
+        "dedup_lines": q_dedup_lines,
+        "dedup_lines_keep_first": q_dedup_lines_keep_first,
+        "semantic_dedup": q_semantic_dedup,
         "asof_click_before_purchase": q_asof_click_before_purchase,
         "asof_skew_buckets": q_asof_skew_buckets,
         "token_heavy_hitters": q_token_heavy_hitters,
@@ -1110,6 +1182,130 @@ def _winnow_oracle(k: int = 8, window: int = 4) -> str:
             FROM grams
         )
         SELECT DISTINCT doc_id, m.h AS fp, m.pos AS pos FROM win WHERE wn = {window}
+    """
+
+
+def _line_dedup_oracle(keep_first: bool, min_line_chars: int = 5,
+                       max_doc_freq: int = 1) -> str:
+    """DuckDB replica of dedup.line_dedup over the same deterministic
+    multi-line construction as _multiline_docs (identical substr windows
+    and CASE plants). Frequencies, keeper selection (row_number over
+    (doc_id, pos) == arg-min), marking, and ordered reassembly are all
+    recomputed independently; a fully-removed document must come back as
+    '' (coalesce over the FILTERed string_agg — Spark's empty array_join)."""
+    not_first = "AND rk.rk > 1 " if keep_first else ""
+    return f"""
+        WITH base AS (
+            SELECT doc_id, concat_ws(chr(10),
+                substr(text, 1, 60),
+                CASE WHEN doc_id % 7 = 2 THEN '{_BOILER_NEWSLETTER}' END,
+                substr(text, 61, 60),
+                CASE WHEN doc_id % 3 = 0 THEN '{_BOILER_FOOTER}' END,
+                substr(text, 121, 60)) AS text
+            FROM documents
+        ),
+        ls AS (SELECT doc_id, string_split(text, chr(10)) AS lines FROM base),
+        ln AS (SELECT doc_id, i AS pos, lines[i + 1] AS line
+               FROM ls, LATERAL (SELECT unnest(range(len(lines))) AS i) ii),
+        el AS (SELECT doc_id, pos, trim(line) AS key FROM ln
+               WHERE length(trim(line)) >= {min_line_chars}),
+        freq AS (SELECT key, count(DISTINCT doc_id) AS dfreq
+                 FROM el GROUP BY key),
+        rk AS (SELECT doc_id, pos, key,
+                      row_number() OVER (PARTITION BY key
+                                         ORDER BY doc_id, pos) AS rk
+               FROM el),
+        mk AS (
+            SELECT ln.doc_id, ln.pos, ln.line,
+                   CASE WHEN f.dfreq > {max_doc_freq} {not_first}
+                        THEN 1 ELSE 0 END AS rm
+            FROM ln
+            LEFT JOIN rk ON rk.doc_id = ln.doc_id AND rk.pos = ln.pos
+            LEFT JOIN freq f ON f.key = rk.key
+        )
+        SELECT doc_id, count(*) AS n_lines,
+               CAST(sum(rm) AS BIGINT) AS n_removed,
+               coalesce(string_agg(line, chr(10) ORDER BY pos)
+                        FILTER (WHERE rm = 0), '') AS text
+        FROM mk GROUP BY doc_id
+    """
+
+
+def _semantic_dedup_oracle(n_centroids: int = 16, threshold: float = 0.9,
+                           seed: int = 42) -> str:
+    """DuckDB replica of similarity.semantic_dedup over the planted corpus:
+    the ivf_topk oracle's centroid sample + exact-integer coarse
+    assignment, within-cluster exact-cosine pairs, recursive-CTE closure
+    (the duplicate_clusters oracle's pattern), rep = component min."""
+    return f"""
+        WITH RECURSIVE emb2 AS (
+            SELECT vec_id, embedding FROM embeddings
+            UNION ALL
+            SELECT vec_id + 1000000,
+                   list_concat(
+                       [CAST(CAST(embedding[1] AS DOUBLE) + 0.015625 AS FLOAT)],
+                       embedding[2:]) AS embedding
+            FROM embeddings WHERE vec_id % 100 = 3
+        ),
+        b AS (
+            SELECT vec_id,
+                   list_transform(embedding,
+                       x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+            FROM emb2
+        ),
+        bn AS (
+            SELECT vec_id, qv, list_sum(list_transform(qv, x -> x * x)) AS nrm,
+                   CAST(concat('0x', substr(md5(concat('ivf_{seed}_',
+                        CAST(vec_id AS VARCHAR))), 1, 15)) AS BIGINT) AS r
+            FROM b
+        ),
+        cen AS (
+            SELECT row_number() OVER (ORDER BY r, vec_id) AS cid,
+                   qv AS cv, nrm AS cn
+            FROM (SELECT * FROM bn ORDER BY r, vec_id LIMIT {n_centroids})
+        ),
+        scored AS (
+            SELECT bn.vec_id, cen.cid,
+                   CAST(list_sum(list_transform(range(1, len(bn.qv) + 1),
+                        i -> bn.qv[i] * cen.cv[i])) AS DOUBLE)
+                   / sqrt(CAST(bn.nrm * cen.cn AS DOUBLE)) AS ccos
+            FROM bn CROSS JOIN cen
+        ),
+        rankedc AS (
+            SELECT vec_id, cid,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY ccos DESC, cid) AS rk
+            FROM scored
+        ),
+        assign AS (SELECT vec_id, cid FROM rankedc WHERE rk = 1),
+        cand AS (
+            SELECT a.vec_id AS id_a, b2.vec_id AS id_b
+            FROM assign a JOIN assign b2
+              ON a.cid = b2.cid AND a.vec_id < b2.vec_id
+        ),
+        prs AS (
+            SELECT c.id_a, c.id_b
+            FROM cand c
+            JOIN bn va ON va.vec_id = c.id_a
+            JOIN bn vb ON vb.vec_id = c.id_b
+            WHERE CAST(list_sum(list_transform(range(1, len(va.qv) + 1),
+                       i -> va.qv[i] * vb.qv[i])) AS DOUBLE)
+                  / sqrt(CAST(va.nrm * vb.nrm AS DOUBLE)) >= {threshold}
+        ),
+        verts AS (SELECT id_a AS id FROM prs UNION SELECT id_b FROM prs),
+        edges AS (SELECT id_a AS src, id_b AS dst FROM prs
+                  UNION SELECT id_b, id_a FROM prs),
+        reach AS (
+            SELECT id, id AS label FROM verts
+            UNION
+            SELECT e.dst AS id, r.label
+            FROM edges e JOIN reach r ON r.id = e.src
+        ),
+        lab AS (SELECT id, min(label) AS rep FROM reach GROUP BY id)
+        SELECT a.vec_id, CAST(a.cid AS INT) AS cid,
+               CAST(coalesce(l.rep, a.vec_id) AS BIGINT) AS rep_id,
+               coalesce(l.rep, a.vec_id) = a.vec_id AS keep
+        FROM assign a LEFT JOIN lab l ON l.id = a.vec_id
     """
 
 
@@ -1782,6 +1978,9 @@ def oracle_sql() -> dict[str, str]:
                    round(quantile_cont(l_quantity, 0.75), 6) AS q75_r6
             FROM lineitem GROUP BY l_returnflag
         """,
+        "dedup_lines": _line_dedup_oracle(keep_first=False),
+        "dedup_lines_keep_first": _line_dedup_oracle(keep_first=True),
+        "semantic_dedup": _semantic_dedup_oracle(),
         "duplicate_clusters": f"""
             WITH RECURSIVE {_SHINGLES_CTE},
             shc AS (

@@ -66,6 +66,8 @@ BENCH_QUERIES = [
     "packed_sequences",
     "classifier_scores",
     "domain_budget_sample",
+    "dedup_lines",
+    "semantic_dedup",
 ]
 
 

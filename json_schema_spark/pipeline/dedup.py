@@ -516,3 +516,86 @@ def contamination_overlap(df: DataFrame, probes: DataFrame, n: int = 8,
             .groupBy(id_col)
             .agg(F.count(F.lit(1)).alias("n_overlap"))
             .where(F.col("n_overlap") >= min_overlap))
+
+
+def line_dedup(df: DataFrame, text_col: str = "text",
+               id_col: str = "doc_id", min_line_chars: int = 5,
+               max_doc_freq: int = 1, keep_first: bool = False,
+               passthrough_cols=()) -> DataFrame:
+    """(doc_id, n_lines, n_removed, text): corpus-level duplicate-LINE
+    removal — the C4 / RefinedWeb boilerplate pass (navigation bars,
+    cookie banners, license footers repeat verbatim across pages; dropping
+    repeated lines removes them without touching unique prose).
+
+    Semantics: a line's dedup key is its TRIMMED text. Lines whose key
+    occurs in more than ``max_doc_freq`` DISTINCT documents are removed
+    from every document (``keep_first=False``, the default — order-free,
+    so the result is independent of data layout) or from every document
+    except the occurrence with the smallest ``(doc_id, position)``
+    (``keep_first=True`` — C4's keep-one-copy variant, still fully
+    deterministic because the keeper is a min, not a scan order). Lines
+    shorter than ``min_line_chars`` after trimming (blank lines,
+    separators) are structural, not boilerplate — never removed and never
+    counted. ``text`` is rebuilt from the surviving lines in original
+    order; a fully-boilerplate document comes back as ''.
+
+    Scale shape (the 100-TB pass): one explode over lines stays row-local
+    inside the scan; the corpus-wide frequency table is a groupBy on the
+    line key whose partial aggregation combines repeats map-side — the
+    shuffle carries one row per (key, partition), and only keys seen in
+    >``max_doc_freq`` docs survive into the ban list. Marking is a join
+    on the line key (shuffle-hash; the ban list is usually far smaller
+    than the line table but NOT bounded, so it is not broadcast by
+    default — AQE will broadcast it when stats allow). A mega-hot banned
+    key (an empty-ish separator that clears ``min_line_chars``) skews one
+    join task, but its ban-list side is a single row, so AQE's skew-join
+    split handles it. Reassembly is one groupBy on the doc id
+    (collect surviving (pos, line) structs, sort, join) — per-doc state
+    only, no global window anywhere.
+
+    The frequency statistic is DISTINCT-doc count, not raw occurrences:
+    a line repeated inside ONE document is intra-doc repetition
+    (``text.ngram_repetition``'s business), not cross-document
+    boilerplate."""
+    if min_line_chars < 1:
+        raise ValueError("min_line_chars must be >= 1")
+    if max_doc_freq < 1:
+        raise ValueError("max_doc_freq must be >= 1")
+    passthrough = list(passthrough_cols)
+
+    lines = df.select(
+        F.col(id_col), *[F.col(c) for c in passthrough],
+        F.posexplode(F.split(F.col(text_col), "\n", -1))
+        .alias("__pos", "__line"))
+    key = F.trim(F.col("__line"))
+    eligible = F.length(key) >= min_line_chars
+    lines = lines.withColumn("__key", F.when(eligible, key))
+
+    # corpus-wide stats per key: distinct-doc frequency + (for keep_first)
+    # the minimal (doc_id, pos) keeper — one map-side-combined shuffle
+    stats = (lines.where(F.col("__key").isNotNull())
+             .groupBy("__key")
+             .agg(F.countDistinct(F.col(id_col)).alias("__df"),
+                  F.min(F.struct(F.col(id_col).alias("d"),
+                                 F.col("__pos").alias("p"))).alias("__keep1")))
+    banned = stats.where(F.col("__df") > max_doc_freq)
+
+    marked = lines.join(banned, "__key", "left")
+    removed = F.col("__df").isNotNull()
+    if keep_first:
+        removed = removed & ~((F.col("__keep1.d") == F.col(id_col))
+                              & (F.col("__keep1.p") == F.col("__pos")))
+    marked = marked.withColumn("__rm", F.coalesce(removed, F.lit(False)))
+
+    # collect_list skips NULLs, so surviving lines gather in one pass;
+    # array_sort on (pos, line) structs restores original order (pos is
+    # unique per doc, so the line field never decides)
+    survivors = F.when(~F.col("__rm"),
+                       F.struct(F.col("__pos"), F.col("__line")))
+    return (marked.groupBy(id_col, *passthrough)
+            .agg(F.count(F.lit(1)).alias("n_lines"),
+                 F.sum(F.col("__rm").cast("int")).alias("n_removed"),
+                 F.array_join(
+                     F.transform(F.array_sort(F.collect_list(survivors)),
+                                 lambda s: s["__line"]),
+                     "\n").alias(text_col)))

@@ -558,3 +558,76 @@ def embedding_near_dups(embeddings: DataFrame, threshold: float = 0.9,
            .where(F.col("cosine") >= threshold)
            .select("id_a", "id_b", "cosine"))
     return cache.register(out, vecs, bb, bcounts)
+
+
+def semantic_dedup(embeddings: DataFrame, threshold: float = 0.9,
+                   n_centroids: int = 16, id_col: str = "vec_id",
+                   vec_col: str = "embedding", q: int = 1000,
+                   seed: int = 42,
+                   max_cluster_size: Optional[int] = 10000,
+                   max_iterations: int = 25) -> DataFrame:
+    """(vec_id, cid, rep_id, keep): SemDeDup-shaped semantic
+    deduplication — coarse-cluster the embedding space, compare vectors
+    only WITHIN their cluster, connect pairs above ``threshold`` into
+    components, and keep one representative (the minimum id) per
+    component. This is the embedding-space analog of near-dup text dedup:
+    paraphrases and re-encodings land in the same coarse cell even when
+    no n-gram survives.
+
+    Clustering reuses ``ivf_assignments``: deterministic md5-sampled
+    centroids + exact integer-dot assignment (a trained k-means would
+    swap only the centroid table — the plan shape is identical), so the
+    whole pass is engine-portable and the DuckDB oracle reproduces it
+    bit-for-bit. Components come from ``dedup.duplicate_clusters``
+    (hash-min label propagation, pointer jumping); ``rep_id`` is the
+    component minimum, ``keep = (vec_id == rep_id)``, and singletons keep
+    themselves.
+
+    Scale shape: candidate fan-out is per-cluster |c|²/2 instead of
+    corpus² — with C ~ n/1000 cells the expected pair volume is ~n·500.
+    ``max_cluster_size`` (``dedup.cap_bucket_fanout``, logged never
+    silent) bounds a degenerate cell; the within-cell join carries bare
+    ids and re-attaches quantized vectors only to surviving candidates.
+    At 10^9+ vectors raise ``n_centroids`` so cells stay bounded —
+    centroid scoring is one broadcast crossJoin pass, O(n·C) map-side.
+
+    Caching: persisted intermediates are registered on the result —
+    ``cache.release(df)`` after materializing."""
+    from .dedup import cap_bucket_fanout, duplicate_clusters
+
+    cen, assign, scored = ivf_assignments(embeddings, n_centroids,
+                                          id_col, vec_col, q, seed)
+    # assign feeds candidate generation, vector re-attach (twice), and the
+    # final labeling join — persist it; `scored` folds into `assign` once
+    assign = assign.persist()
+
+    members = assign.select(F.col(id_col), F.col("cid"))
+    capped, counts = cap_bucket_fanout(members, ["cid"], max_cluster_size,
+                                       "semantic_dedup")
+    left = capped.select(F.col(id_col).alias("id_a"), "cid")
+    right = capped.select(F.col(id_col).alias("id_b"), "cid")
+    # one "band" (the cluster id): each unordered pair appears once — no
+    # distinct needed before attaching vectors
+    cand = (left.join(right, "cid")
+            .where(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b"))
+    a = assign.select(F.col(id_col).alias("id_a"), F.col("qv").alias("av"),
+                      F.col("nrm").alias("an"))
+    b = assign.select(F.col(id_col).alias("id_b"), F.col("qv").alias("bv"),
+                      F.col("nrm").alias("bn"))
+    n_part = embeddings.sparkSession.sparkContext.defaultParallelism
+    pc = _pair_cosine_udf()
+    pairs = (cand.join(a, "id_a").join(b, "id_b")
+             .repartition(n_part, F.col("id_a"))
+             .withColumn("cosine", pc(F.col("av"), F.col("bv"),
+                                      F.col("an"), F.col("bn")))
+             .where(F.col("cosine") >= threshold)
+             .select("id_a", "id_b"))
+    labels = duplicate_clusters(pairs, max_iterations=max_iterations)
+    out = (assign.select(F.col(id_col), F.col("cid"))
+           .join(labels.withColumnRenamed("doc_id", id_col), id_col, "left")
+           .select(F.col(id_col), F.col("cid"),
+                   F.coalesce(F.col("cluster_id"), F.col(id_col))
+                   .alias("rep_id"))
+           .withColumn("keep", F.col("rep_id") == F.col(id_col)))
+    return cache.register(out, assign, counts)

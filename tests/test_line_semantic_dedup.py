@@ -1,0 +1,144 @@
+"""Round-5 pipeline ops: corpus-level duplicate-line removal (C4 /
+RefinedWeb boilerplate pass) and SemDeDup-shaped semantic dedup.
+
+Reference behavior basis: the reference repo has no pipeline surface —
+these are training-data-pipeline extensions; correctness is pinned against
+hand-computed expectations here and against independent DuckDB
+recomputation in test_entry_oracle.py (dedup_lines / dedup_lines_keep_first
+/ semantic_dedup)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from json_schema_spark.pipeline import cache, dedup, similarity
+
+BOILER = "copyright example corp all rights reserved"
+
+
+def _docs(spark):
+    rows = [
+        # doc 0: unique body + boilerplate footer
+        (0, "alpha beta gamma delta\n" + BOILER, "web"),
+        # doc 1: different body + same footer + a short structural line
+        (1, "epsilon zeta eta theta\n--\n" + BOILER, "web"),
+        # doc 2: entirely boilerplate (must come back as '')
+        (2, BOILER, "web"),
+        # doc 3: intra-doc repetition only — distinct-doc freq is 1, so
+        # the repeated line must SURVIVE (not cross-doc boilerplate)
+        (3, "iota kappa lambda mu\niota kappa lambda mu", "news"),
+        # doc 4: leading/trailing whitespace variant of the footer — the
+        # dedup key is the TRIMMED line, so it bans with the others, but
+        # the doc's own surviving text keeps its original lines verbatim
+        (4, "nu xi omicron pi\n  " + BOILER + "  ", "news"),
+    ]
+    return spark.createDataFrame(rows, "doc_id bigint, text string, source string")
+
+
+def _collect(df):
+    return {r["doc_id"]: r.asDict() for r in df.collect()}
+
+
+class TestLineDedup:
+    def test_drop_all_mode(self, spark):
+        out = _collect(dedup.line_dedup(_docs(spark), min_line_chars=3))
+        assert out[0]["text"] == "alpha beta gamma delta"
+        assert out[0]["n_lines"] == 2 and out[0]["n_removed"] == 1
+        # short structural line "--" is immune (min_line_chars=3)
+        assert out[1]["text"] == "epsilon zeta eta theta\n--"
+        assert out[2]["text"] == ""  # fully-boilerplate doc
+        assert out[2]["n_removed"] == 1
+        # intra-doc repetition survives: distinct-doc freq is 1
+        assert out[3]["text"] == "iota kappa lambda mu\niota kappa lambda mu"
+        assert out[3]["n_removed"] == 0
+        # whitespace variant banned via trimmed key; body survives
+        assert out[4]["text"] == "nu xi omicron pi"
+        assert out[4]["n_removed"] == 1
+
+    def test_keep_first_mode(self, spark):
+        out = _collect(dedup.line_dedup(_docs(spark), min_line_chars=3,
+                                        keep_first=True))
+        # keeper = smallest (doc_id, pos): doc 0 line 1 keeps the footer
+        assert out[0]["text"] == "alpha beta gamma delta\n" + BOILER
+        assert out[0]["n_removed"] == 0
+        assert out[1]["n_removed"] == 1
+        assert out[2]["text"] == ""
+        # doc 4's occurrence is whitespace-padded but shares the trimmed
+        # key — removed (doc 0 position is smaller)
+        assert out[4]["text"] == "nu xi omicron pi"
+
+    def test_max_doc_freq_loosens_ban(self, spark):
+        # footer appears in 4 distinct docs; with max_doc_freq=4 nothing
+        # crosses the threshold
+        out = _collect(dedup.line_dedup(_docs(spark), min_line_chars=3,
+                                        max_doc_freq=4))
+        assert all(v["n_removed"] == 0 for v in out.values())
+
+    def test_passthrough_cols(self, spark):
+        out = dedup.line_dedup(_docs(spark), min_line_chars=3,
+                               passthrough_cols=["source"])
+        rows = {r["doc_id"]: r["source"] for r in out.collect()}
+        assert rows == {0: "web", 1: "web", 2: "web", 3: "news", 4: "news"}
+
+    def test_param_validation(self, spark):
+        with pytest.raises(ValueError):
+            dedup.line_dedup(_docs(spark), min_line_chars=0)
+        with pytest.raises(ValueError):
+            dedup.line_dedup(_docs(spark), max_doc_freq=0)
+
+
+def _emb_df(spark, rows):
+    data = [(int(i), [float(x) for x in v]) for i, v in rows]
+    return spark.createDataFrame(data, "vec_id bigint, embedding array<float>")
+
+
+class TestSemanticDedup:
+    def test_planted_clones_collapse(self, spark):
+        rng = np.random.RandomState(11)
+        base = rng.normal(size=(60, 8))
+        rows = [(i, base[i]) for i in range(60)]
+        # clones of vectors 0..4 under higher ids: tiny exact-in-IEEE shift
+        for j in range(5):
+            v = base[j].copy()
+            v[0] += 2.0 ** -9
+            rows.append((100 + j, v))
+        out = similarity.semantic_dedup(_emb_df(spark, rows), threshold=0.99,
+                                        n_centroids=4).persist()
+        got = {r["vec_id"]: r for r in out.collect()}
+        assert len(got) == 65
+        for j in range(5):
+            # the clone pair shares a component; rep = min id = the base
+            assert got[100 + j]["rep_id"] == j, got[100 + j]
+            assert not got[100 + j]["keep"]
+            assert got[j]["rep_id"] == j and got[j]["keep"]
+        # everything else is a singleton keeping itself
+        others = [r for i, r in got.items() if 5 <= i < 60]
+        assert all(r["keep"] and r["rep_id"] == r["vec_id"] for r in others)
+        cache.release(out)
+        out.unpersist()
+
+    def test_transitive_component_single_rep(self, spark):
+        # a chain a~b, b~c (a~c below threshold) must still collapse to
+        # ONE representative via connected components
+        a = np.ones(8)
+        b = a.copy(); b[0] += 0.28
+        c = b.copy(); c[1] += 0.28
+        rows = [(1, a), (2, b), (3, c), (50, -a)]
+        out = similarity.semantic_dedup(_emb_df(spark, rows), threshold=0.995,
+                                        n_centroids=1).persist()
+        got = {r["vec_id"]: (r["rep_id"], r["keep"]) for r in out.collect()}
+        assert got[1] == (1, True)
+        assert got[2] == (1, False) and got[3] == (1, False)
+        assert got[50] == (50, True)
+        cache.release(out)
+        out.unpersist()
+
+    def test_cluster_cap_bounds_candidates(self, spark):
+        # a degenerate corpus (all identical) with a cluster cap: the
+        # oversized cell is dropped, every vector keeps itself
+        rows = [(i, np.ones(4)) for i in range(50)]
+        out = similarity.semantic_dedup(_emb_df(spark, rows), threshold=0.9,
+                                        n_centroids=1, max_cluster_size=10)
+        got = out.collect()
+        assert len(got) == 50
+        assert all(r["keep"] for r in got)
