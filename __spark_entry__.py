@@ -754,6 +754,52 @@ def q_semantic_dedup(spark, sf_dir):
     return similarity.semantic_dedup(corpus, threshold=0.9, n_centroids=16)
 
 
+_PASSAGE_LONG = ("the quick brown fox jumps over the lazy dog "
+                 "again and again")
+_PASSAGE_SHORT = "common boilerplate sequence repeated across web documents"
+
+
+def _passage_docs(d):
+    """Deterministic exact-substring plants over the synthetic corpus: the
+    generated texts are (near-)unique word sequences, so without planting,
+    ExactSubstr dedup is vacuously a no-op. ~1/5 of docs get a shared
+    12-token passage appended (cross-document duplication), ~1/13 get an
+    8-token passage appended TWICE (intra-document duplication — also
+    cross-document among the %13 cohort). The DuckDB oracle performs the
+    identical construction, so both engines see the same token corpus."""
+    did = F.col("doc_id")
+    return d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(did % 5 == F.lit(1),
+                   F.lit(" " + _PASSAGE_LONG)).otherwise(F.lit("")),
+            F.when(did % 13 == F.lit(4),
+                   F.lit(" " + _PASSAGE_SHORT + " " + _PASSAGE_SHORT))
+            .otherwise(F.lit("")),
+        ).alias("text"))
+
+
+def q_substring_dedup(spark, sf_dir):
+    """Exact-substring dedup (Lee et al. ExactSubstr), drop-every-copy
+    mode: any 8-token run occurring ≥2 times corpus-wide (raw count —
+    intra-doc repeats included) is removed everywhere via hash anchors +
+    interval-union coverage. The oracle recomputes anchors, frequencies,
+    marks, the coverage range-EXISTS, and reassembly independently."""
+    d = _t(spark, sf_dir, "documents")
+    return dedup.substring_dedup(_passage_docs(d), min_tokens=8,
+                                 keep_first=False)
+
+
+def q_substring_dedup_keep_first(spark, sf_dir):
+    """ExactSubstr keep-one-copy variant: per repeated window key, the
+    occurrence with the smallest (doc_id, position) anchors the surviving
+    copy — deterministic (the keeper is a min, not a scan order)."""
+    d = _t(spark, sf_dir, "documents")
+    return dedup.substring_dedup(_passage_docs(d), min_tokens=8,
+                                 keep_first=True)
+
+
 def q_asof_click_before_purchase(spark, sf_dir):
     """As-of join: each purchase event picks up the most recent click value
     at-or-before its timestamp for the same user (union + running-last
@@ -941,6 +987,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "duplicate_clusters": q_duplicate_clusters,
         "dedup_lines": q_dedup_lines,
         "dedup_lines_keep_first": q_dedup_lines_keep_first,
+        "substring_dedup": q_substring_dedup,
+        "substring_dedup_keep_first": q_substring_dedup_keep_first,
         "semantic_dedup": q_semantic_dedup,
         "asof_click_before_purchase": q_asof_click_before_purchase,
         "asof_skew_buckets": q_asof_skew_buckets,
@@ -1228,6 +1276,61 @@ def _line_dedup_oracle(keep_first: bool, min_line_chars: int = 5,
                coalesce(string_agg(line, chr(10) ORDER BY pos)
                         FILTER (WHERE rm = 0), '') AS text
         FROM mk GROUP BY doc_id
+    """
+
+
+def _substring_dedup_oracle(keep_first: bool, min_tokens: int = 8) -> str:
+    """DuckDB replica of dedup.substring_dedup over the same deterministic
+    passage plants as _passage_docs. Anchors (md5 of the space-joined
+    token window), raw occurrence counts, keeper selection (row_number
+    over (doc_id, apos) == arg-min), interval coverage (a token is removed
+    iff a marked anchor starts within the trailing window — the
+    range-EXISTS form of the Spark side's difference array), and ordered
+    reassembly are all recomputed independently."""
+    L = min_tokens
+    not_first = "AND rk > 1" if keep_first else ""
+    return f"""
+        WITH base AS (
+            SELECT doc_id, concat(text,
+                CASE WHEN doc_id % 5 = 1
+                     THEN ' {_PASSAGE_LONG}' ELSE '' END,
+                CASE WHEN doc_id % 13 = 4
+                     THEN ' {_PASSAGE_SHORT} {_PASSAGE_SHORT}'
+                     ELSE '' END) AS text
+            FROM documents
+        ),
+        ds AS (SELECT doc_id, string_split(text, ' ') AS toks FROM base),
+        anch AS (
+            SELECT doc_id, i AS apos,
+                   md5(array_to_string(toks[i + 1 : i + {L}], ' ')) AS key
+            FROM ds, LATERAL (SELECT unnest(range(len(toks) - {L} + 1))
+                              AS i) ii
+            WHERE len(toks) >= {L}
+        ),
+        rk AS (
+            SELECT doc_id, apos,
+                   count(*) OVER (PARTITION BY key) AS cnt,
+                   row_number() OVER (PARTITION BY key
+                                      ORDER BY doc_id, apos) AS rk
+            FROM anch
+        ),
+        marked AS (SELECT doc_id, apos FROM rk
+                   WHERE cnt >= 2 {not_first}),
+        tok AS (SELECT doc_id, i AS pos, toks[i + 1] AS tok
+                FROM ds, LATERAL (SELECT unnest(range(len(toks))) AS i) ii),
+        cov AS (
+            SELECT t.doc_id, t.pos, t.tok,
+                   EXISTS (SELECT 1 FROM marked m
+                           WHERE m.doc_id = t.doc_id
+                             AND m.apos BETWEEN t.pos - {L - 1} AND t.pos)
+                   AS rm
+            FROM tok t
+        )
+        SELECT doc_id, CAST(count(*) AS INT) AS n_tokens,
+               CAST(sum(CASE WHEN rm THEN 1 ELSE 0 END) AS INT) AS n_removed,
+               coalesce(string_agg(tok, ' ' ORDER BY pos)
+                        FILTER (WHERE NOT rm), '') AS text
+        FROM cov GROUP BY doc_id
     """
 
 
@@ -1980,6 +2083,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dedup_lines": _line_dedup_oracle(keep_first=False),
         "dedup_lines_keep_first": _line_dedup_oracle(keep_first=True),
+        "substring_dedup": _substring_dedup_oracle(keep_first=False),
+        "substring_dedup_keep_first": _substring_dedup_oracle(keep_first=True),
         "semantic_dedup": _semantic_dedup_oracle(),
         "duplicate_clusters": f"""
             WITH RECURSIVE {_SHINGLES_CTE},

@@ -68,6 +68,7 @@ BENCH_QUERIES = [
     "domain_budget_sample",
     "dedup_lines",
     "semantic_dedup",
+    "substring_dedup",
 ]
 
 

@@ -599,3 +599,120 @@ def line_dedup(df: DataFrame, text_col: str = "text",
                      F.transform(F.array_sort(F.collect_list(survivors)),
                                  lambda s: s["__line"]),
                      "\n").alias(text_col)))
+
+
+def _coverage_udf(min_tokens: int):
+    """(toks, marks) -> struct(n_tokens, n_removed, text): remove every
+    token covered by a marked anchor interval [m, m+min_tokens) and
+    rebuild the single-space-joined text. Interval union via a numpy
+    difference array (O(n_tokens + n_marks) per doc — no per-interval
+    expansion); the Python level iterates documents, the per-document
+    work is vectorized. An Arrow-batched pandas UDF is the right tool
+    here: interval-union coverage has no shuffle-free expression in
+    native Spark SQL (a higher-order-function scan would run interpreted
+    per token)."""
+    import numpy as np
+    import pandas as pd
+
+    L = min_tokens
+
+    @F.pandas_udf("struct<n_tokens: int, n_removed: int, text: string>")
+    def cov(toks, marks):
+        n_out, r_out, t_out = [], [], []
+        for tk, mk in zip(toks, marks):
+            tk = list(tk)
+            n = len(tk)
+            if mk is None or len(mk) == 0:
+                n_out.append(n)
+                r_out.append(0)
+                t_out.append(" ".join(tk))
+                continue
+            diff = np.zeros(n + 1, dtype=np.int64)
+            m = np.asarray(mk, dtype=np.int64)
+            np.add.at(diff, m, 1)
+            np.add.at(diff, np.minimum(m + L, n), -1)
+            covered = np.cumsum(diff[:n]) > 0
+            kept = [t for t, c in zip(tk, covered) if not c]
+            n_out.append(n)
+            r_out.append(int(covered.sum()))
+            t_out.append(" ".join(kept))
+        return pd.DataFrame({"n_tokens": n_out, "n_removed": r_out,
+                             "text": t_out})
+
+    return cov
+
+
+def substring_dedup(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id", min_tokens: int = 8,
+                    keep_first: bool = False) -> DataFrame:
+    """(doc_id, n_tokens, n_removed, text): exact-substring deduplication
+    (the ExactSubstr pass of Lee et al. 2022, "Deduplicating Training Data
+    Makes Language Models Better") — any token run of length
+    ``min_tokens`` that occurs more than once ANYWHERE in the corpus
+    (across documents or repeated inside one) is duplicated text; every
+    covered token is removed (``keep_first=False``, order-free) or every
+    occurrence except the one whose anchor has the smallest
+    ``(doc_id, position)`` survives (``keep_first=True`` — the paper's
+    keep-one-copy shape, deterministic because the keeper is a min).
+
+    Anchor semantics: position ``i`` of a document is an anchor keyed by
+    ``md5`` of the space-joined token window ``[i, i+min_tokens)``; an
+    anchor whose key occurs ≥2 times corpus-wide marks its whole window
+    for removal. Because every length-``min_tokens`` sub-window of a
+    longer shared passage is itself a repeated key, marked windows tile
+    the passage and the interval union removes it exactly — the classic
+    suffix-array result recovered with hash anchors. The occurrence
+    statistic is RAW count, not distinct-doc count (contrast
+    ``line_dedup``): a passage pasted twice into one document is
+    duplicated training text all the same. Operates on the
+    whitespace-token sequence; reassembly re-joins surviving tokens with
+    single spaces (runs of whitespace are not preserved — document-level
+    normalization, stated contract).
+
+    Scale shape: anchor build is row-local inside the scan (one md5 per
+    position — O(n·L) bytes hashed, the constant the hash-anchor design
+    trades for the suffix array's O(n) with far better distribution);
+    the corpus-wide key count is ONE map-side-combined shuffle; marking
+    is a key join against the repeated-key list (unbounded but ≪ anchors;
+    AQE broadcasts when stats allow, splits if a mega-hot boilerplate key
+    skews a task — the mark side is linear per occurrence, never a pair
+    join, so no fan-out cap is needed); coverage + reassembly are one
+    per-doc shuffle into an Arrow UDF carrying a difference array —
+    per-document state only, no global window anywhere."""
+    if min_tokens < 2:
+        raise ValueError("min_tokens must be >= 2")
+    L = min_tokens
+
+    docs = df.select(F.col(id_col), F.split(F.col(text_col), " ", -1)
+                     .alias("__toks"))
+    n = F.size(F.col("__toks"))
+    anchors = (docs.where(n >= L)
+               .select(F.col(id_col), F.posexplode(
+                   F.transform(
+                       F.sequence(F.lit(0), F.size(F.col("__toks")) - L),
+                       lambda i: F.md5(F.concat_ws(
+                           " ", F.slice(F.col("__toks"), i + 1, L)))))
+                   .alias("__apos", "__key"))
+               .persist())
+
+    stats = (anchors.groupBy("__key")
+             .agg(F.count(F.lit(1)).alias("__cnt"),
+                  F.min(F.struct(F.col(id_col).alias("d"),
+                                 F.col("__apos").alias("p")))
+                  .alias("__keep1"))
+             .where(F.col("__cnt") >= 2))
+    marked = anchors.join(stats, "__key")
+    if keep_first:
+        marked = marked.where(~((F.col("__keep1.d") == F.col(id_col))
+                                & (F.col("__keep1.p") == F.col("__apos"))))
+    marks = (marked.groupBy(id_col)
+             .agg(F.sort_array(F.collect_list("__apos")).alias("__marks")))
+
+    cov = _coverage_udf(L)
+    out = (docs.join(marks, id_col, "left")
+           .select(F.col(id_col),
+                   cov(F.col("__toks"), F.col("__marks")).alias("__o"))
+           .select(F.col(id_col), F.col("__o.n_tokens").alias("n_tokens"),
+                   F.col("__o.n_removed").alias("n_removed"),
+                   F.col("__o.text").alias(text_col)))
+    return cache.register(out, anchors)

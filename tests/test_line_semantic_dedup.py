@@ -142,3 +142,80 @@ class TestSemanticDedup:
         got = out.collect()
         assert len(got) == 50
         assert all(r["keep"] for r in got)
+
+
+PASSAGE = "a b c d e f g h i j"  # 10 tokens, > min_tokens=8
+
+
+def _substr_docs(spark):
+    rows = [
+        # docs 10/11 share the 10-token passage (cross-document)
+        (10, "unique one text here now " + PASSAGE),
+        (11, PASSAGE + " other tail words go here"),
+        # doc 12: shorter than the window — no anchors, untouched
+        (12, "short doc"),
+        # doc 13: intra-doc repeat (raw count, unlike line_dedup's
+        # distinct-doc statistic) + cross-doc with 10/11
+        (13, "x1 x2 x3 x4 x5 x6 x7 x8 x9 " + PASSAGE + " " + PASSAGE),
+        # doc 14: no repeats anywhere
+        (14, "totally distinct words with no repeats at all whatsoever"),
+    ]
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+class TestSubstringDedup:
+    def test_drop_all_mode(self, spark):
+        res = dedup.substring_dedup(_substr_docs(spark), min_tokens=8)
+        out = _collect(res)
+        # the shared passage is removed from EVERY copy; interval union
+        # tiles the whole 10-token run from its 3 repeated 8-gram anchors
+        assert out[10]["text"] == "unique one text here now"
+        assert out[10]["n_tokens"] == 15 and out[10]["n_removed"] == 10
+        assert out[11]["text"] == "other tail words go here"
+        assert out[12]["text"] == "short doc"
+        assert out[12]["n_removed"] == 0
+        # intra-doc: both copies removed (raw occurrence count)
+        assert out[13]["text"] == "x1 x2 x3 x4 x5 x6 x7 x8 x9"
+        assert out[13]["n_removed"] == 20
+        assert out[14]["n_removed"] == 0
+        cache.release(res)
+
+    def test_keep_first_mode(self, spark):
+        res = dedup.substring_dedup(_substr_docs(spark), min_tokens=8,
+                                    keep_first=True)
+        out = _collect(res)
+        # keeper = global min (doc_id, apos) per window key -> doc 10
+        # keeps the passage, every other copy (docs 11 and 13 both) loses it
+        assert out[10]["text"] == ("unique one text here now " + PASSAGE)
+        assert out[10]["n_removed"] == 0
+        assert out[11]["text"] == "other tail words go here"
+        assert out[13]["text"] == "x1 x2 x3 x4 x5 x6 x7 x8 x9"
+        cache.release(res)
+
+    def test_long_shared_passage_tiles_exactly(self, spark):
+        # a 12-token shared run: every length-8 sub-window repeats, so
+        # coverage removes exactly the run — neighbors survive
+        run = " ".join(f"p{i}" for i in range(12))
+        rows = [(0, "left edge " + run + " right edge"),
+                (1, "pre " + run + " post")]
+        df = spark.createDataFrame(rows, "doc_id bigint, text string")
+        res = dedup.substring_dedup(df, min_tokens=8)
+        out = _collect(res)
+        assert out[0]["text"] == "left edge right edge"
+        assert out[0]["n_removed"] == 12
+        assert out[1]["text"] == "pre post"
+        cache.release(res)
+
+    def test_fully_duplicated_doc_returns_empty(self, spark):
+        body = " ".join(f"w{i}" for i in range(9))
+        df = spark.createDataFrame([(0, body), (1, body)],
+                                   "doc_id bigint, text string")
+        res = dedup.substring_dedup(df, min_tokens=8)
+        out = _collect(res)
+        assert out[0]["text"] == "" and out[1]["text"] == ""
+        assert out[0]["n_removed"] == 9
+        cache.release(res)
+
+    def test_min_tokens_validation(self, spark):
+        with pytest.raises(ValueError):
+            dedup.substring_dedup(_substr_docs(spark), min_tokens=1)
