@@ -800,6 +800,17 @@ def q_substring_dedup_keep_first(spark, sf_dir):
                                  keep_first=True)
 
 
+def q_prototypicality(spark, sf_dir):
+    """D4/SSL-prototypes pruning signal: exact cosine to the assigned
+    coarse centroid + within-cluster percent_rank, so redundancy (near
+    cluster cores) and outliers (far tails) can both be cut from one
+    scored table. Fully deterministic (md5 centroid sample, integer dot
+    products, (proto desc, id) tie-break) — the oracle recomputes
+    centroids, assignment, and ranking independently."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.prototypicality(emb, n_centroids=16)
+
+
 def q_asof_click_before_purchase(spark, sf_dir):
     """As-of join: each purchase event picks up the most recent click value
     at-or-before its timestamp for the same user (union + running-last
@@ -989,6 +1000,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_lines_keep_first": q_dedup_lines_keep_first,
         "substring_dedup": q_substring_dedup,
         "substring_dedup_keep_first": q_substring_dedup_keep_first,
+        "prototypicality": q_prototypicality,
         "semantic_dedup": q_semantic_dedup,
         "asof_click_before_purchase": q_asof_click_before_purchase,
         "asof_skew_buckets": q_asof_skew_buckets,
@@ -1409,6 +1421,51 @@ def _semantic_dedup_oracle(n_centroids: int = 16, threshold: float = 0.9,
                CAST(coalesce(l.rep, a.vec_id) AS BIGINT) AS rep_id,
                coalesce(l.rep, a.vec_id) = a.vec_id AS keep
         FROM assign a LEFT JOIN lab l ON l.id = a.vec_id
+    """
+
+
+def _prototypicality_oracle(n_centroids: int = 16, seed: int = 42) -> str:
+    """DuckDB replica of similarity.prototypicality: the ivf oracle's
+    md5-sampled centroids + exact integer coarse scoring, per-vector best
+    centroid (max ccos, tie -> smaller cid), percent_rank within cluster
+    ordered (proto desc, vec_id)."""
+    return f"""
+        WITH b AS (
+            SELECT vec_id,
+                   list_transform(embedding,
+                       x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+            FROM embeddings
+        ),
+        bn AS (
+            SELECT vec_id, qv, list_sum(list_transform(qv, x -> x * x)) AS nrm,
+                   CAST(concat('0x', substr(md5(concat('ivf_{seed}_',
+                        CAST(vec_id AS VARCHAR))), 1, 15)) AS BIGINT) AS r
+            FROM b
+        ),
+        cen AS (
+            SELECT row_number() OVER (ORDER BY r, vec_id) AS cid,
+                   qv AS cv, nrm AS cn
+            FROM (SELECT * FROM bn ORDER BY r, vec_id LIMIT {n_centroids})
+        ),
+        scored AS (
+            SELECT bn.vec_id, cen.cid,
+                   CAST(list_sum(list_transform(range(1, len(bn.qv) + 1),
+                        i -> bn.qv[i] * cen.cv[i])) AS DOUBLE)
+                   / sqrt(CAST(bn.nrm * cen.cn AS DOUBLE)) AS ccos
+            FROM bn CROSS JOIN cen
+        ),
+        ranked AS (
+            SELECT vec_id, cid, ccos,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY ccos DESC, cid) AS rk
+            FROM scored
+        ),
+        best AS (SELECT vec_id, CAST(cid AS INT) AS cid, ccos AS proto
+                 FROM ranked WHERE rk = 1)
+        SELECT vec_id, cid, proto,
+               percent_rank() OVER (PARTITION BY cid
+                                    ORDER BY proto DESC, vec_id) AS pr
+        FROM best
     """
 
 
@@ -2085,6 +2142,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_lines_keep_first": _line_dedup_oracle(keep_first=True),
         "substring_dedup": _substring_dedup_oracle(keep_first=False),
         "substring_dedup_keep_first": _substring_dedup_oracle(keep_first=True),
+        "prototypicality": _prototypicality_oracle(),
         "semantic_dedup": _semantic_dedup_oracle(),
         "duplicate_clusters": f"""
             WITH RECURSIVE {_SHINGLES_CTE},

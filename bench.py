@@ -69,6 +69,7 @@ BENCH_QUERIES = [
     "dedup_lines",
     "semantic_dedup",
     "substring_dedup",
+    "prototypicality",
 ]
 
 

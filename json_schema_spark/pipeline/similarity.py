@@ -631,3 +631,38 @@ def semantic_dedup(embeddings: DataFrame, threshold: float = 0.9,
                    .alias("rep_id"))
            .withColumn("keep", F.col("rep_id") == F.col(id_col)))
     return cache.register(out, assign, counts)
+
+
+def prototypicality(embeddings: DataFrame, n_centroids: int = 16,
+                    id_col: str = "vec_id", vec_col: str = "embedding",
+                    q: int = 1000, seed: int = 42) -> DataFrame:
+    """(vec_id, cid, proto, pr): embedding-space prototypicality scoring —
+    the pruning signal behind SSL-prototypes / D4-style data selection.
+    ``proto`` is the exact cosine between a vector and its assigned coarse
+    centroid (max-cosine assignment from ``ivf_assignments`` — swap in
+    trained k-means centroids for the production variant, identical plan
+    shape); ``pr`` is the percent_rank of ``proto`` INSIDE its cluster
+    (0 = most prototypical, 1 = farthest outlier), so callers cut either
+    tail without recomputation: drop ``pr <= x`` to remove semantic
+    redundancy near cluster cores, drop ``pr >= y`` to remove noise/
+    outliers.
+
+    Scale shape: centroid scoring is the one broadcast crossJoin pass
+    (O(n·C) map-side, no shuffle); the per-vector best is one map-side-
+    combined groupBy; ranking is one window per cluster — a cluster is a
+    single task's sort, so raise ``n_centroids`` with corpus size to keep
+    clusters bounded (same knob and same bound as ``semantic_dedup``;
+    at 10^9 vectors C should be 10^5+, which also keeps the broadcast
+    centroid table small). Fully deterministic: md5 centroid sample,
+    exact integer dot products, ``(proto desc, id)`` tie-break."""
+    from pyspark.sql import Window
+
+    cen, assign, scored = ivf_assignments(embeddings, n_centroids,
+                                          id_col, vec_col, q, seed)
+    best = (scored.groupBy(id_col)
+            .agg(F.max_by(F.col("cid"),
+                          F.struct(F.col("ccos"), -F.col("cid"))).alias("cid"),
+                 F.max("ccos").alias("proto")))
+    w = Window.partitionBy("cid").orderBy(F.col("proto").desc(),
+                                          F.col(id_col))
+    return best.withColumn("pr", F.percent_rank().over(w))

@@ -160,3 +160,66 @@ def test_lsh_topk_multiband_improves_top1_recall(spark):
     r1 = recall(1)
     assert r4 >= 0.92, f"multi-band top-1 recall {r4:.2f}"
     assert r4 >= r1, (r4, r1)
+
+
+class TestPrototypicality:
+    def test_matches_python_reference(self, spark):
+        # two tight clusters around orthogonal axes + one in-between
+        # straggler; expectations come from a from-scratch Python replica
+        # (md5 centroid sample, integer quantization, exact dots)
+        import hashlib
+        import math
+        import random
+        rng = random.Random(7)
+        rows = []
+        for i in range(20):                       # cluster A ~ +x
+            rows.append((i, [1.0, rng.uniform(-0.05, 0.05)]))
+        for i in range(20, 40):                   # cluster B ~ +y
+            rows.append((i, [rng.uniform(-0.05, 0.05), 1.0]))
+        rows.append((99, [0.6, 0.55]))            # in-between straggler
+        rows = [(i, [float(np.float32(x)) for x in v]) for i, v in rows]
+
+        def quant(v):
+            return [int(math.floor(x * 1000 + 0.5)) if x >= 0
+                    else int(math.ceil(x * 1000 - 0.5)) for x in v]
+
+        qv = {i: quant(v) for i, v in rows}
+        nrm = {i: sum(x * x for x in q) for i, q in qv.items()}
+        r = {i: int(hashlib.md5(f"ivf_42_{i}".encode())
+                    .hexdigest()[:15], 16) for i, _ in rows}
+        sample = sorted(rows, key=lambda t: (r[t[0]], t[0]))[:2]
+        cen = {ci + 1: (qv[i], nrm[i])
+               for ci, (i, _) in enumerate(sorted(
+                   sample, key=lambda t: (r[t[0]], t[0])))}
+        best = {}
+        for i, _ in rows:
+            scored = []
+            for cid, (cv, cn) in cen.items():
+                dot = sum(a * b for a, b in zip(qv[i], cv))
+                scored.append((dot / math.sqrt(nrm[i] * cn), -cid))
+            ccos, ncid = max(scored)
+            best[i] = (-ncid, ccos)
+        exp_pr = {}
+        for cid in cen:
+            members = sorted([(i, p) for i, (c, p) in best.items()
+                              if c == cid], key=lambda t: (-t[1], t[0]))
+            n = len(members)
+            for rk, (i, _) in enumerate(members):
+                exp_pr[i] = rk / (n - 1) if n > 1 else 0.0
+
+        df = spark.createDataFrame(rows,
+                                   "vec_id bigint, embedding array<float>")
+        out = {r2.vec_id: r2 for r2 in
+               similarity.prototypicality(df, n_centroids=2).collect()}
+        assert len(out) == 41
+        for i, _ in rows:
+            assert out[i].cid == best[i][0], i
+            assert abs(out[i].proto - best[i][1]) < 1e-12, i
+            assert out[i].pr == exp_pr[i], i
+
+    def test_singleton_cluster_pr_zero(self, spark):
+        df = spark.createDataFrame(
+            [(1, [1.0, 0.0]), (2, [0.0, 1.0])],
+            "vec_id bigint, embedding array<float>")
+        out = similarity.prototypicality(df, n_centroids=2).collect()
+        assert all(r.pr == 0.0 for r in out)
