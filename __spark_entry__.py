@@ -800,6 +800,18 @@ def q_substring_dedup_keep_first(spark, sf_dir):
                                  keep_first=True)
 
 
+def q_dsir_weights(spark, sf_dir):
+    """DSIR importance weights toward the English slice of the corpus
+    (hashed unigram+bigram bag models, add-1 smoothing over 4096
+    buckets). Per-feature log-ratios are glibc-log micro-nat integers,
+    so the per-doc sum is exact under any partitioning; the oracle
+    recomputes features, counts, lambdas, and sums independently."""
+    from json_schema_spark.pipeline import sampling
+    d = _t(spark, sf_dir, "documents")
+    return sampling.dsir_weights(d, d.where(F.col("lang") == "en"),
+                                 n_buckets=4096)
+
+
 def q_prototypicality(spark, sf_dir):
     """D4/SSL-prototypes pruning signal: exact cosine to the assigned
     coarse centroid + within-cluster percent_rank, so redundancy (near
@@ -1001,6 +1013,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "substring_dedup": q_substring_dedup,
         "substring_dedup_keep_first": q_substring_dedup_keep_first,
         "prototypicality": q_prototypicality,
+        "dsir_weights": q_dsir_weights,
         "semantic_dedup": q_semantic_dedup,
         "asof_click_before_purchase": q_asof_click_before_purchase,
         "asof_skew_buckets": q_asof_skew_buckets,
@@ -1421,6 +1434,61 @@ def _semantic_dedup_oracle(n_centroids: int = 16, threshold: float = 0.9,
                CAST(coalesce(l.rep, a.vec_id) AS BIGINT) AS rep_id,
                coalesce(l.rep, a.vec_id) = a.vec_id AS keep
         FROM assign a LEFT JOIN lab l ON l.id = a.vec_id
+    """
+
+
+def _dsir_oracle(n_buckets: int = 4096, alpha: float = 1.0) -> str:
+    """DuckDB replica of sampling.dsir_weights with target = lang='en'.
+    Feature hashing (md5 % B with per-order domain tags), add-alpha
+    smoothed per-feature lambdas in the EXACT log-difference expression
+    shape the Spark side uses ((ln(c+a)-ln(D+aB)) - (...)), micro-nat
+    quantization (round half away from zero), exact integer per-doc sums,
+    one final double division. glibc ln == CPython math.log bit-for-bit
+    (verified), which is what makes the hash comparison exact."""
+    a = alpha
+    aB = alpha * n_buckets
+    return f"""
+        WITH tok AS (SELECT doc_id, lang, {_TOKENS} AS toks FROM documents),
+        uf AS (
+            SELECT doc_id, lang,
+                   CAST(concat('0x', substr(md5(concat('dsir_u_', toks[i])),
+                        1, 15)) AS BIGINT) % {n_buckets} AS bucket
+            FROM tok, LATERAL (SELECT unnest(generate_series(1, len(toks)))
+                               AS i) ii
+        ),
+        bf AS (
+            SELECT doc_id, lang,
+                   CAST(concat('0x', substr(md5(concat('dsir_b_', toks[i],
+                        ' ', toks[i + 1])), 1, 15)) AS BIGINT)
+                   % {n_buckets} AS bucket
+            FROM tok, LATERAL (SELECT unnest(generate_series(1, len(toks) - 1))
+                               AS i) ii
+            WHERE len(toks) >= 2
+        ),
+        feat AS (SELECT * FROM uf UNION ALL SELECT * FROM bf),
+        docfeat AS (SELECT doc_id, bucket, count(*) AS c
+                    FROM feat GROUP BY doc_id, bucket),
+        cr AS (SELECT bucket, CAST(sum(c) AS BIGINT) AS cr
+               FROM docfeat GROUP BY bucket),
+        ct AS (SELECT bucket, count(*) AS ct FROM feat
+               WHERE lang = 'en' GROUP BY bucket),
+        tot AS (SELECT (SELECT CAST(sum(c) AS BIGINT) FROM docfeat) AS dr,
+                       (SELECT count(*) FROM feat WHERE lang = 'en') AS dt),
+        lam AS (
+            SELECT cr.bucket,
+                   CAST(round((
+                       (ln(CAST(coalesce(ct.ct, 0) AS DOUBLE) + {a!r})
+                        - ln(CAST(tot.dt AS DOUBLE) + {aB!r}))
+                       - (ln(CAST(cr.cr AS DOUBLE) + {a!r})
+                          - ln(CAST(tot.dr AS DOUBLE) + {aB!r}))
+                   ) * 1e9) AS BIGINT) AS lam
+            FROM cr LEFT JOIN ct USING (bucket) CROSS JOIN tot
+        )
+        SELECT d.doc_id, CAST(sum(d.c) AS BIGINT) AS n_feats,
+               CAST(CAST(sum(d.c * l.lam) AS BIGINT) AS DOUBLE) / 1e9
+                   AS logw
+        FROM docfeat d JOIN lam l USING (bucket)
+        GROUP BY d.doc_id
     """
 
 
@@ -2143,6 +2211,7 @@ def oracle_sql() -> dict[str, str]:
         "substring_dedup": _substring_dedup_oracle(keep_first=False),
         "substring_dedup_keep_first": _substring_dedup_oracle(keep_first=True),
         "prototypicality": _prototypicality_oracle(),
+        "dsir_weights": _dsir_oracle(),
         "semantic_dedup": _semantic_dedup_oracle(),
         "duplicate_clusters": f"""
             WITH RECURSIVE {_SHINGLES_CTE},

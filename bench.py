@@ -70,6 +70,7 @@ BENCH_QUERIES = [
     "semantic_dedup",
     "substring_dedup",
     "prototypicality",
+    "dsir_weights",
 ]
 
 

@@ -148,3 +148,102 @@ def domain_top_quality(df: DataFrame, budget: int,
                        F.lit(int(prefilter_shards)))
         df = budgeted(df, shard).drop("cum_tokens")
     return budgeted(df, None)
+
+
+def _dsir_features(df: DataFrame, n_buckets: int, text_col: str,
+                   id_col: str) -> DataFrame:
+    """(id, bucket): hashed unigram + bigram feature occurrences (with
+    multiplicity) per document. md5-derived buckets with per-order domain
+    tags keep the hash engine-portable and unigrams independent of
+    bigrams."""
+    from .dedup import md5_int
+    from .text import tokens as _tokens
+
+    toks = _tokens(F.col(text_col))
+    B = F.lit(n_buckets)
+    uni = F.transform(
+        toks, lambda t: F.pmod(md5_int(F.concat(F.lit("dsir_u_"), t)), B))
+    bi = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - 2),
+            lambda i: F.pmod(md5_int(F.concat(
+                F.lit("dsir_b_"), F.element_at(toks, i + 1), F.lit(" "),
+                F.element_at(toks, i + 2))), B)),
+    ).otherwise(F.array().cast("array<bigint>"))
+    return df.select(F.col(id_col),
+                     F.explode(F.concat(uni, bi)).alias("bucket"))
+
+
+def dsir_weights(df: DataFrame, target: DataFrame, n_buckets: int = 65536,
+                 alpha: float = 1.0, text_col: str = "text",
+                 id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, n_feats, logw): DSIR importance weights (Xie et al. 2023,
+    "Data Selection for Language Models via Importance Resampling") — the
+    log-likelihood ratio of each raw document under hashed-n-gram bag
+    models of the TARGET distribution vs the RAW corpus distribution.
+    Select by ``logw`` (top-k, or Gumbel-top-k resampling on
+    ``logw + gumbel_noise``) to tilt a web-scale corpus toward a target
+    domain without training a classifier.
+
+    Model: unigram+bigram features hashed into ``n_buckets`` buckets;
+    add-``alpha`` smoothed per-feature log-ratios
+    ``lam_f = ln((ct_f+α)/(Dt+αB)) − ln((cr_f+α)/(Dr+αB))``;
+    ``logw(doc) = Σ_f count_f(doc) · lam_f``.
+
+    Determinism across engines (the oracle hash-matches bit-for-bit):
+    ``lam_f`` is computed with glibc ``math.log`` — bit-identical to
+    DuckDB ``ln`` (numpy's SIMD log is NOT) — and quantized to integer
+    micro-nats (×1e9, round half away from zero), so the per-document
+    aggregation is an EXACT integer sum: no float-summation-order
+    dependence under any partitioning. The one float division back to
+    nats happens once per output row.
+
+    Scale shape: feature build is row-local in the scan; per-doc counts
+    are one map-side-combined shuffle; corpus/target feature tables are
+    bounded by ``n_buckets`` (the hashing trick's point), so the lambda
+    table BROADCASTS to the scoring join — no shuffle touches the corpus
+    a second time; the totals pass is two O(n_buckets) aggregates. The
+    target side is a domain sample — typically tiny; at 100 TB only the
+    raw-corpus count/score passes see the full data, each once."""
+    import math
+
+    import pandas as pd  # noqa: F401  (pandas_udf runtime dep)
+
+    if n_buckets < 2:
+        raise ValueError("n_buckets must be >= 2")
+    docfeat = (_dsir_features(df, n_buckets, text_col, id_col)
+               .groupBy(id_col, "bucket")
+               .agg(F.count(F.lit(1)).alias("c"))
+               .persist())
+    cr = docfeat.groupBy("bucket").agg(F.sum("c").alias("cr"))
+    ct = (_dsir_features(target, n_buckets, text_col, id_col)
+          .groupBy("bucket").agg(F.count(F.lit(1)).alias("ct")))
+    d_raw = docfeat.agg(F.sum("c")).collect()[0][0] or 0
+    d_tgt = ct.agg(F.sum("ct")).collect()[0][0] or 0
+
+    a, B = float(alpha), n_buckets
+    log_tgt_denom = math.log(d_tgt + a * B)
+    log_raw_denom = math.log(d_raw + a * B)
+
+    @F.pandas_udf("bigint")
+    def lam_micro(ct_s, cr_s):
+        out = []
+        for c_t, c_r in zip(ct_s.tolist(), cr_s.tolist()):
+            v = ((math.log(c_t + a) - log_tgt_denom)
+                 - (math.log(c_r + a) - log_raw_denom)) * 1e9
+            out.append(int(math.floor(v + 0.5)) if v >= 0
+                       else int(math.ceil(v - 0.5)))
+        return pd.Series(out)
+
+    lam = (cr.join(ct, "bucket", "left")
+           .select("bucket",
+                   lam_micro(F.coalesce(F.col("ct"), F.lit(0)),
+                             F.col("cr")).alias("lam")))
+    out = (docfeat.join(F.broadcast(lam), "bucket")
+           .groupBy(id_col)
+           .agg(F.sum("c").alias("n_feats"),
+                (F.sum(F.col("c") * F.col("lam")).cast("double")
+                 / F.lit(1e9)).alias("logw")))
+    from . import cache
+    return cache.register(out, docfeat)

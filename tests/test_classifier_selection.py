@@ -85,3 +85,50 @@ def test_classifier_no_python_udf(spark):
     df = spark.createDataFrame([(1, "a b c")], "doc_id bigint, text string")
     plan = classifier_score(df)._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+class TestDsirWeights:
+    def _corpus(self, spark):
+        # two disjoint-vocabulary "domains"; target = domain A
+        a_docs = [(i, " ".join(f"alpha{j % 5}" for j in range(i % 7 + 3)), "A")
+                  for i in range(0, 10)]
+        b_docs = [(i, " ".join(f"beta{j % 5}" for j in range(i % 7 + 3)), "B")
+                  for i in range(10, 20)]
+        return spark.createDataFrame(a_docs + b_docs,
+                                     "doc_id bigint, text string, dom string")
+
+    def test_target_domain_scores_higher(self, spark):
+        from json_schema_spark.pipeline import cache
+        from json_schema_spark.pipeline.sampling import dsir_weights
+
+        df = self._corpus(spark)
+        res = dsir_weights(df, df.where(F.col("dom") == "A"),
+                           n_buckets=1024)
+        out = {r.doc_id: r.logw for r in res.collect()}
+        assert len(out) == 20
+        # every target-domain doc outranks every off-domain doc
+        assert min(out[i] for i in range(10)) > max(out[i]
+                                                    for i in range(10, 20))
+        cache.release(res)
+
+    def test_partition_invariant_bits(self, spark):
+        from json_schema_spark.pipeline import cache
+        from json_schema_spark.pipeline.sampling import dsir_weights
+
+        df = self._corpus(spark)
+        tgt = df.where(F.col("dom") == "A")
+        r1 = dsir_weights(df.repartition(1), tgt, n_buckets=512)
+        got1 = {r.doc_id: (r.n_feats, r.logw) for r in r1.collect()}
+        cache.release(r1)
+        r2 = dsir_weights(df.repartition(13, "doc_id"), tgt, n_buckets=512)
+        got2 = {r.doc_id: (r.n_feats, r.logw) for r in r2.collect()}
+        cache.release(r2)
+        # integer micro-nat lattice -> bit-identical under any layout
+        assert got1 == got2
+
+    def test_n_buckets_guard(self, spark):
+        from json_schema_spark.pipeline.sampling import dsir_weights
+
+        with pytest.raises(ValueError):
+            dsir_weights(self._corpus(spark), self._corpus(spark),
+                         n_buckets=1)
