@@ -800,6 +800,47 @@ def q_substring_dedup_keep_first(spark, sf_dir):
                                  keep_first=True)
 
 
+# corpus-tuned stop list: the synthetic vocabulary is OLAP words, so the
+# English Gopher list would fail ~every doc on the stopword rule; a list
+# drawn from the corpus's own function words keeps every rule non-vacuous
+# in BOTH directions (the op default stays the published English list)
+_GOPHER_QUERY_STOPWORDS = ["the", "a", "value", "row", "data", "query",
+                           "hash", "scan"]
+_BULLET_BLOCK = ("\n- item one\n- two like\n- three items\n- four more"
+                 "\n- five it\n- six bullets\n- seven now\n- eight here"
+                 "\n- nine list\n- ten end")
+_ELLIPSIS_BLOCK = "\nto be continued...\nmore to come..."
+
+
+def q_gopher_rules(spark, sf_dir):
+    """Gopher composite quality rules (word count / word length / symbol
+    ratio / alpha words / stopword kinds / bullet + ellipsis line
+    fractions) annotated per doc, with the ordered failed-rule list and
+    the keep verdict. Planted bullet blocks (~1/11 of docs: 10 of 11
+    lines bulleted > 0.9) and ellipsis blocks (~1/19: 2 of 3 lines > 0.3)
+    de-vacuize the line rules; min_words=30 splits the natural length
+    distribution. All signals are row-local codegen expressions — the
+    oracle recomputes every rule independently."""
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    planted = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(did % 11 == F.lit(7), F.lit(_BULLET_BLOCK))
+            .otherwise(F.lit("")),
+            F.when(did % 19 == F.lit(3), F.lit(_ELLIPSIS_BLOCK))
+            .otherwise(F.lit("")),
+        ).alias("text"))
+    out = text_ops.gopher_rules(planted, min_words=30,
+                                stopwords=_GOPHER_QUERY_STOPWORDS)
+    return out.select(
+        "doc_id", "n_words", "mean_word_len", "symbol_ratio",
+        "alpha_word_frac", "n_stop_kinds", "bullet_line_frac",
+        "ellipsis_line_frac",
+        F.array_join("reasons", ",").alias("reasons"), "keep")
+
+
 def q_dsir_weights(spark, sf_dir):
     """DSIR importance weights toward the English slice of the corpus
     (hashed unigram+bigram bag models, add-1 smoothing over 4096
@@ -1014,6 +1055,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "substring_dedup_keep_first": q_substring_dedup_keep_first,
         "prototypicality": q_prototypicality,
         "dsir_weights": q_dsir_weights,
+        "gopher_rules": q_gopher_rules,
         "semantic_dedup": q_semantic_dedup,
         "asof_click_before_purchase": q_asof_click_before_purchase,
         "asof_skew_buckets": q_asof_skew_buckets,
@@ -1434,6 +1476,73 @@ def _semantic_dedup_oracle(n_centroids: int = 16, threshold: float = 0.9,
                CAST(coalesce(l.rep, a.vec_id) AS BIGINT) AS rep_id,
                coalesce(l.rep, a.vec_id) = a.vec_id AS keep
         FROM assign a LEFT JOIN lab l ON l.id = a.vec_id
+    """
+
+
+def _gopher_oracle(min_words: int = 30) -> str:
+    """DuckDB replica of text.gopher_rules over the same planted bullet /
+    ellipsis blocks. Every signal is recomputed independently (list ops
+    instead of the Spark side's lookaround regexp_counts where RE2 lacks
+    lookbehind); same rule order, same comma-joined reasons string."""
+    sw = ", ".join(f"'{w}'" for w in _GOPHER_QUERY_STOPWORDS)
+    bullet_sql = _BULLET_BLOCK.replace("\n", "' || chr(10) || '")
+    ellipsis_sql = _ELLIPSIS_BLOCK.replace("\n", "' || chr(10) || '")
+    return f"""
+        WITH base AS (
+            SELECT doc_id, concat(text,
+                CASE WHEN doc_id % 11 = 7
+                     THEN '{bullet_sql}' ELSE '' END,
+                CASE WHEN doc_id % 19 = 3
+                     THEN '{ellipsis_sql}' ELSE '' END) AS text
+            FROM documents
+        ),
+        sig AS (
+            SELECT doc_id, text,
+                regexp_split_to_array(lower(trim(text)), '\\s+') AS ltoks,
+                length(regexp_replace(trim(text), '\\s+', '', 'g'))
+                    AS tok_chars,
+                len(string_split(text, chr(10))) AS n_lines
+            FROM base
+        ),
+        m AS (
+            SELECT doc_id,
+                len(ltoks) AS n_words,
+                CAST(tok_chars AS DOUBLE) / len(ltoks) AS mean_word_len,
+                CAST(len(regexp_extract_all(text, '#|\\.\\.\\.|…'))
+                     AS DOUBLE) / len(ltoks) AS symbol_ratio,
+                CAST(len(list_filter(ltoks,
+                         t -> regexp_matches(t, '[a-z]')))
+                     AS DOUBLE) / len(ltoks) AS alpha_word_frac,
+                len(list_intersect(list_distinct(ltoks), [{sw}]))
+                    AS n_stop_kinds,
+                CAST(len(regexp_extract_all(text, '(?m)^[ \\t]*[-*•]'))
+                     AS DOUBLE) / n_lines AS bullet_line_frac,
+                CAST(len(regexp_extract_all(text, '(?m)(?:\\.\\.\\.|…)$'))
+                     AS DOUBLE) / n_lines AS ellipsis_line_frac
+            FROM sig
+        ),
+        r AS (
+            SELECT *, list_filter([
+                CASE WHEN n_words < {min_words} OR n_words > 100000
+                     THEN 'word_count' END,
+                CASE WHEN mean_word_len < 3.0 OR mean_word_len > 10.0
+                     THEN 'word_length' END,
+                CASE WHEN symbol_ratio > 0.1 THEN 'symbol_ratio' END,
+                CASE WHEN alpha_word_frac < 0.8 THEN 'alpha_words' END,
+                CASE WHEN n_stop_kinds < 2 THEN 'stopwords' END,
+                CASE WHEN bullet_line_frac > 0.9 THEN 'bullet_lines' END,
+                CASE WHEN ellipsis_line_frac > 0.3
+                     THEN 'ellipsis_lines' END
+            ], x -> x IS NOT NULL) AS reasons
+            FROM m
+        )
+        SELECT doc_id, CAST(n_words AS INT) AS n_words, mean_word_len,
+               symbol_ratio, alpha_word_frac,
+               CAST(n_stop_kinds AS INT) AS n_stop_kinds,
+               bullet_line_frac, ellipsis_line_frac,
+               coalesce(array_to_string(reasons, ','), '') AS reasons,
+               len(reasons) = 0 AS keep
+        FROM r
     """
 
 
@@ -2212,6 +2321,7 @@ def oracle_sql() -> dict[str, str]:
         "substring_dedup_keep_first": _substring_dedup_oracle(keep_first=True),
         "prototypicality": _prototypicality_oracle(),
         "dsir_weights": _dsir_oracle(),
+        "gopher_rules": _gopher_oracle(),
         "semantic_dedup": _semantic_dedup_oracle(),
         "duplicate_clusters": f"""
             WITH RECURSIVE {_SHINGLES_CTE},

@@ -71,6 +71,7 @@ BENCH_QUERIES = [
     "substring_dedup",
     "prototypicality",
     "dsir_weights",
+    "gopher_rules",
 ]
 
 

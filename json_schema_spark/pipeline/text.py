@@ -10,7 +10,7 @@ engine-specific hashing).
 
 from __future__ import annotations
 
-from typing import Dict, List
+from typing import Dict, List, Optional
 
 from pyspark.sql import Column, DataFrame, functions as F
 
@@ -428,3 +428,87 @@ def classifier_score(df: DataFrame, seed: int = 42,
         F.col(id_col), *[F.col(c) for c in passthrough],
         F.col("n_tokens"), F.col("sum_w"), logit.alias("logit"),
         (logit >= F.lit(float(threshold))).alias("keep_doc"))
+
+
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_rules(df: DataFrame, text_col: str = "text",
+                 min_words: int = 50, max_words: int = 100_000,
+                 min_word_len: float = 3.0, max_word_len: float = 10.0,
+                 max_symbol_ratio: float = 0.1,
+                 min_alpha_frac: float = 0.8,
+                 min_stop_kinds: int = 2,
+                 max_bullet_frac: float = 0.9,
+                 max_ellipsis_frac: float = 0.3,
+                 stopwords: Optional[List[str]] = None) -> DataFrame:
+    """Annotate every row with the Gopher quality-rule signals (Rae et
+    al. 2021, Appendix A) plus ``reasons`` (the ordered list of failed
+    rule names) and ``keep`` — the standard composite heuristic filter a
+    crawl corpus passes before dedup. Repetition signals (duplicate
+    n-gram / top-gram share) are deliberately NOT folded in: they need a
+    corpus gram pass (``ngram_repetition``) while everything here is
+    row-local — compose the two with a join when the full rule set is
+    wanted, keeping this op shuffle-free inside the scan.
+
+    Rules (fail → reason string, in this order):
+      word count outside [min_words, max_words]      → 'word_count'
+      mean word length outside [min/max_word_len]    → 'word_length'
+      '#'/ellipsis symbols per word > max_symbol_ratio → 'symbol_ratio'
+      words containing a letter < min_alpha_frac     → 'alpha_words'
+      distinct stopword kinds < min_stop_kinds       → 'stopwords'
+      lines starting with a bullet > max_bullet_frac → 'bullet_lines'
+      lines ending in an ellipsis > max_ellipsis_frac → 'ellipsis_lines'
+
+    Scale shape: every signal is a codegen expression over the row
+    (regexp_count with zero-width lookarounds for token-boundary counts,
+    (?m) anchors for line fractions, one array_intersect for distinct
+    stopword kinds) — no shuffle, no UDF; the filter pipelines inside
+    the parquet scan and Catalyst pushes any downstream ``keep`` filter
+    into it."""
+    sw = stopwords or GOPHER_STOPWORDS
+    c = F.col(text_col)
+    ltoks = F.split(F.lower(F.trim(c)), r"\s+")
+    n_words = F.size(ltoks)
+    nd = n_words.cast("double")
+    mean_len = avg_token_length(c)
+    n_symbols = F.regexp_count(c, F.lit(r"#|\.\.\.|…"))
+    symbol_ratio = n_symbols.cast("double") / nd
+    # tokens containing at least one ASCII letter, counted at token
+    # boundaries inside codegen (lookaround trick — see _lang_hits)
+    n_alpha = F.regexp_count(
+        F.lower(F.trim(c)),
+        F.lit(r"(?<=^|\s)[^\s]*[a-z][^\s]*(?=\s|$)"))
+    alpha_frac = n_alpha.cast("double") / nd
+    n_stop_kinds = F.size(F.array_intersect(
+        F.array_distinct(ltoks), F.lit(sw)))
+    lines = F.split(c, "\n", -1)
+    n_lines = F.size(lines).cast("double")
+    bullet_frac = (F.regexp_count(c, F.lit(r"(?m)^[ \t]*[-*•]"))
+                   .cast("double") / n_lines)
+    ellipsis_frac = (F.regexp_count(c, F.lit(r"(?m)(?:\.\.\.|…)$"))
+                     .cast("double") / n_lines)
+
+    reasons = F.array_compact(F.array(
+        F.when((n_words < min_words) | (n_words > max_words),
+               F.lit("word_count")),
+        F.when((mean_len < min_word_len) | (mean_len > max_word_len),
+               F.lit("word_length")),
+        F.when(symbol_ratio > max_symbol_ratio, F.lit("symbol_ratio")),
+        F.when(alpha_frac < min_alpha_frac, F.lit("alpha_words")),
+        F.when(n_stop_kinds < min_stop_kinds, F.lit("stopwords")),
+        F.when(bullet_frac > max_bullet_frac, F.lit("bullet_lines")),
+        F.when(ellipsis_frac > max_ellipsis_frac,
+               F.lit("ellipsis_lines")),
+    ))
+    return df.withColumns({
+        "n_words": n_words,
+        "mean_word_len": mean_len,
+        "symbol_ratio": symbol_ratio,
+        "alpha_word_frac": alpha_frac,
+        "n_stop_kinds": n_stop_kinds,
+        "bullet_line_frac": bullet_frac,
+        "ellipsis_line_frac": ellipsis_frac,
+        "reasons": reasons,
+        "keep": F.size(reasons) == 0,
+    })

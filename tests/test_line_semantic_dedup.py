@@ -219,3 +219,54 @@ class TestSubstringDedup:
     def test_min_tokens_validation(self, spark):
         with pytest.raises(ValueError):
             dedup.substring_dedup(_substr_docs(spark), min_tokens=1)
+
+
+class TestGopherRules:
+    def test_hand_computed_rules(self, spark):
+        from json_schema_spark.pipeline import text as text_ops
+
+        rows = [
+            # passes everything (8 words >= min_words=5, letters, stops)
+            (0, "the cat sat on the mat with a dog"),
+            # too few words
+            (1, "tiny doc here"),
+            # symbol ratio: 2 symbols / 6 words > 0.1
+            (2, "what # comes next # here now"),
+            # numeric tokens: 2 alpha words of 6 < 0.8
+            (3, "the 1 2 3 4 5"),
+            # bullet lines: 3 of 4 lines bulleted > 0.66 (custom thresh)
+            (4, "the head line\n- a\n- b\n- c"),
+            # ellipsis lines: 1 of 2 > 0.3
+            (5, "the first line with words\nand more..."),
+        ]
+        df = spark.createDataFrame(rows, "doc_id bigint, text string")
+        out = {r.doc_id: r for r in text_ops.gopher_rules(
+            df, min_words=5, min_word_len=1.0, max_bullet_frac=0.66,
+            min_stop_kinds=1).collect()}
+        assert out[0].keep and out[0].reasons == []
+        assert out[1].reasons == ["word_count", "stopwords"]
+        assert "symbol_ratio" in out[2].reasons
+        assert "alpha_words" in out[3].reasons
+        assert out[3].alpha_word_frac == 1.0 / 6.0
+        assert "bullet_lines" in out[4].reasons
+        assert out[4].bullet_line_frac == 0.75
+        assert "ellipsis_lines" in out[5].reasons
+        assert out[5].ellipsis_line_frac == 0.5
+        # reasons keep the documented rule order
+        assert out[2].reasons == sorted(
+            out[2].reasons,
+            key=["word_count", "word_length", "symbol_ratio",
+                 "alpha_words", "stopwords", "bullet_lines",
+                 "ellipsis_lines"].index)
+
+    def test_stop_kinds_distinct_not_multiplicity(self, spark):
+        from json_schema_spark.pipeline import text as text_ops
+
+        # 'the' four times is still ONE stopword kind
+        df = spark.createDataFrame(
+            [(0, "the the the the cat likes maps")],
+            "doc_id bigint, text string")
+        r = text_ops.gopher_rules(df, min_words=1, min_word_len=1.0,
+                                  min_stop_kinds=2).collect()[0]
+        assert r.n_stop_kinds == 1
+        assert "stopwords" in r.reasons

@@ -167,3 +167,15 @@ def test_lsh_stream_store_read_partition_prunes(spark, tmp_path):
     assert part_lines, plan
     assert any(SHARD_COL in ln and "IN" in ln.upper() for ln in part_lines), \
         part_lines
+
+
+def test_gopher_rules_is_shuffle_free(spark):
+    """Every Gopher rule signal is a row-local codegen expression: no
+    Exchange, no Python evaluation anywhere in the plan — the filter
+    pipelines inside the scan."""
+    from json_schema_spark.pipeline import text as text_ops
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = _plan(text_ops.gopher_rules(docs))
+    assert "Exchange" not in plan, plan
+    assert "Python" not in plan, plan
