@@ -812,6 +812,21 @@ _BULLET_BLOCK = ("\n- item one\n- two like\n- three items\n- four more"
 _ELLIPSIS_BLOCK = "\nto be continued...\nmore to come..."
 
 
+def q_dedup_against(spark, sf_dir):
+    """Cross-corpus exact dedup: the incremental-crawl pass — drop from
+    the 'new snapshot' (all documents) everything the 'existing corpus'
+    (documents with doc_id % 4 == 0, whitespace/case re-encoded to pin
+    the normalized fingerprint semantics) already holds. The planted
+    exact-dup clusters make the removal wider than the reference ids
+    themselves."""
+    d = _t(spark, sf_dir, "documents")
+    reference = d.where(F.col("doc_id") % 4 == 0).select(
+        F.upper(F.concat(F.lit("  "), F.col("text"), F.lit("  ")))
+        .alias("text"))
+    out = dedup.dedup_against(d, reference)
+    return out.select("doc_id", "text")
+
+
 def q_gopher_rules(spark, sf_dir):
     """Gopher composite quality rules (word count / word length / symbol
     ratio / alpha words / stopword kinds / bullet + ellipsis line
@@ -1055,6 +1070,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "substring_dedup_keep_first": q_substring_dedup_keep_first,
         "prototypicality": q_prototypicality,
         "dsir_weights": q_dsir_weights,
+        "dedup_against": q_dedup_against,
         "gopher_rules": q_gopher_rules,
         "semantic_dedup": q_semantic_dedup,
         "asof_click_before_purchase": q_asof_click_before_purchase,
@@ -1476,6 +1492,29 @@ def _semantic_dedup_oracle(n_centroids: int = 16, threshold: float = 0.9,
                CAST(coalesce(l.rep, a.vec_id) AS BIGINT) AS rep_id,
                coalesce(l.rep, a.vec_id) = a.vec_id AS keep
         FROM assign a LEFT JOIN lab l ON l.id = a.vec_id
+    """
+
+
+def _dedup_against_oracle() -> str:
+    """DuckDB replica of dedup.dedup_against with the re-encoded %4
+    reference: both sides' normalized fingerprints recomputed
+    independently, removal via NOT IN (an anti-join)."""
+    return """
+        WITH fp AS (
+            SELECT doc_id, text,
+                   md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+                       AS f
+            FROM documents
+        ),
+        ref AS (
+            SELECT DISTINCT
+                   md5(regexp_replace(lower(trim(
+                       upper(concat('  ', text, '  ')))), '\\s+', ' ', 'g'))
+                       AS f
+            FROM documents WHERE doc_id % 4 = 0
+        )
+        SELECT doc_id, text FROM fp
+        WHERE f NOT IN (SELECT f FROM ref)
     """
 
 
@@ -2321,6 +2360,7 @@ def oracle_sql() -> dict[str, str]:
         "substring_dedup_keep_first": _substring_dedup_oracle(keep_first=True),
         "prototypicality": _prototypicality_oracle(),
         "dsir_weights": _dsir_oracle(),
+        "dedup_against": _dedup_against_oracle(),
         "gopher_rules": _gopher_oracle(),
         "semantic_dedup": _semantic_dedup_oracle(),
         "duplicate_clusters": f"""

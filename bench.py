@@ -72,6 +72,7 @@ BENCH_QUERIES = [
     "prototypicality",
     "dsir_weights",
     "gopher_rules",
+    "dedup_against",
 ]
 
 

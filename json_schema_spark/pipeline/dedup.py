@@ -716,3 +716,32 @@ def substring_dedup(df: DataFrame, text_col: str = "text",
                    F.col("__o.n_removed").alias("n_removed"),
                    F.col("__o.text").alias(text_col)))
     return cache.register(out, anchors)
+
+
+def dedup_against(df: DataFrame, reference: DataFrame,
+                  text_col: str = "text", id_col: str = "doc_id",
+                  broadcast_reference: bool = False) -> DataFrame:
+    """Rows of ``df`` whose normalized exact fingerprint does NOT occur in
+    ``reference`` — cross-corpus exact deduplication, the standard
+    incremental-crawl pass ("drop from the new snapshot everything the
+    existing corpus already holds"). The key is ``text.fingerprint``
+    (md5 of whitespace-normalized lowercase text), so trivial whitespace/
+    case re-encodings count as already-held.
+
+    Scale shape: one DISTINCT over the reference fingerprints (map-side
+    combined — the md5 is 32 bytes/row regardless of document size) and
+    one anti-join on the fingerprint. Both sides shuffle on a uniform
+    hash key (md5), so there is no skew by construction; set
+    ``broadcast_reference=True`` only when the reference fingerprint set
+    genuinely fits in executor memory. Note Spark will NOT inject a
+    runtime Bloom filter into an anti-join (false positives would wrongly
+    DROP rows) — the shuffle is the honest cost of exactness; for a
+    lossy pre-filter at extreme scale, semi-join the batch against a
+    Bloom sketch of the reference first and anti-join only survivors."""
+    ref = (reference.select(fingerprint(F.col(text_col)).alias("__fp"))
+           .distinct())
+    if broadcast_reference:
+        ref = F.broadcast(ref)
+    return (df.withColumn("__fp", fingerprint(F.col(text_col)))
+            .join(ref, "__fp", "left_anti")
+            .drop("__fp"))

@@ -270,3 +270,27 @@ class TestGopherRules:
                                   min_stop_kinds=2).collect()[0]
         assert r.n_stop_kinds == 1
         assert "stopwords" in r.reasons
+
+
+class TestDedupAgainst:
+    def test_normalized_membership(self, spark):
+        new = spark.createDataFrame(
+            [(0, "Hello   World"),      # held by reference (normalized)
+             (1, "fresh document one"),
+             (2, "another   fresh doc")],
+            "doc_id bigint, text string")
+        ref = spark.createDataFrame(
+            [(100, "  hello world  ")], "doc_id bigint, text string")
+        out = sorted(r.doc_id
+                     for r in dedup.dedup_against(new, ref).collect())
+        assert out == [1, 2]
+
+    def test_broadcast_variant_same_result(self, spark):
+        new = spark.createDataFrame(
+            [(i, f"doc number {i}") for i in range(10)],
+            "doc_id bigint, text string")
+        ref = new.where(F.col("doc_id") % 3 == 0)
+        a = sorted(r.doc_id for r in dedup.dedup_against(new, ref).collect())
+        b = sorted(r.doc_id for r in dedup.dedup_against(
+            new, ref, broadcast_reference=True).collect())
+        assert a == b == [i for i in range(10) if i % 3 != 0]
