@@ -620,6 +620,11 @@ def _coverage_udf(min_tokens: int):
     def cov(toks, marks):
         n_out, r_out, t_out = [], [], []
         for tk, mk in zip(toks, marks):
+            if tk is None:  # NULL text -> NULL struct, not a crash
+                n_out.append(None)
+                r_out.append(None)
+                t_out.append(None)
+                continue
             tk = list(tk)
             n = len(tk)
             if mk is None or len(mk) == 0:

@@ -217,8 +217,11 @@ def dsir_weights(df: DataFrame, target: DataFrame, n_buckets: int = 65536,
                .agg(F.count(F.lit(1)).alias("c"))
                .persist())
     cr = docfeat.groupBy("bucket").agg(F.sum("c").alias("cr"))
+    # ct feeds both the totals pass and the lambda join — persist so the
+    # target feature build runs once (registered on the result for release)
     ct = (_dsir_features(target, n_buckets, text_col, id_col)
-          .groupBy("bucket").agg(F.count(F.lit(1)).alias("ct")))
+          .groupBy("bucket").agg(F.count(F.lit(1)).alias("ct"))
+          .persist())
     d_raw = docfeat.agg(F.sum("c")).collect()[0][0] or 0
     d_tgt = ct.agg(F.sum("ct")).collect()[0][0] or 0
 
@@ -246,4 +249,4 @@ def dsir_weights(df: DataFrame, target: DataFrame, n_buckets: int = 65536,
                 (F.sum(F.col("c") * F.col("lam")).cast("double")
                  / F.lit(1e9)).alias("logw")))
     from . import cache
-    return cache.register(out, docfeat)
+    return cache.register(out, docfeat, ct)

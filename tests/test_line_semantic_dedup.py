@@ -220,6 +220,19 @@ class TestSubstringDedup:
         with pytest.raises(ValueError):
             dedup.substring_dedup(_substr_docs(spark), min_tokens=1)
 
+    def test_null_text_yields_null_struct(self, spark):
+        body = " ".join(f"w{i}" for i in range(9))
+        df = spark.createDataFrame(
+            [(0, body), (1, None), (2, body)],
+            "doc_id bigint, text string")
+        res = dedup.substring_dedup(df, min_tokens=8)
+        out = _collect(res)
+        assert out[1]["text"] is None
+        assert out[1]["n_tokens"] is None and out[1]["n_removed"] is None
+        # the NULL row does not disturb the duplicated pair
+        assert out[0]["text"] == "" and out[2]["text"] == ""
+        cache.release(res)
+
 
 class TestGopherRules:
     def test_hand_computed_rules(self, spark):

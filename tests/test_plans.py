@@ -179,3 +179,29 @@ def test_gopher_rules_is_shuffle_free(spark):
     plan = _plan(text_ops.gopher_rules(docs))
     assert "Exchange" not in plan, plan
     assert "Python" not in plan, plan
+
+
+def test_dsir_lambda_join_broadcasts(spark):
+    """The per-feature lambda table is bounded by n_buckets, so the
+    scoring join must broadcast — the corpus-side feature table is never
+    shuffled a second time."""
+    from json_schema_spark.pipeline import cache, sampling
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    res = sampling.dsir_weights(docs, docs.limit(50), n_buckets=512)
+    plan = _plan(res)
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan
+    cache.release(res)
+
+
+def test_substring_dedup_single_arrow_stage(spark):
+    """Anchor build + marking stay JVM-side (md5 expressions, joins);
+    Python appears exactly once — the Arrow coverage UDF."""
+    from json_schema_spark.pipeline import cache, dedup
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    res = dedup.substring_dedup(docs, min_tokens=8)
+    plan = _plan(res)
+    assert plan.count("ArrowEvalPython") == 1, plan
+    assert "BatchEvalPython" not in plan, plan  # no row-at-a-time UDF
+    cache.release(res)
