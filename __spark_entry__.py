@@ -827,6 +827,22 @@ def q_dedup_against(spark, sf_dir):
     return out.select("doc_id", "text")
 
 
+def q_dedup_against_bloom(spark, sf_dir):
+    """Same cross-corpus dedup through the Bloom pre-filter path
+    (``pipeline/dedup.py::dedup_against`` with ``bloom_fpp``): rows whose
+    k probe bits miss the reference bitmap bypass the anti-join shuffle;
+    Bloom-positives go through the exact anti-join that corrects false
+    positives. The RESULT is exact, so the oracle is identical to
+    ``dedup_against`` — the driver's hash match pins that the lossy
+    pre-filter lost nothing."""
+    d = _t(spark, sf_dir, "documents")
+    reference = d.where(F.col("doc_id") % 4 == 0).select(
+        F.upper(F.concat(F.lit("  "), F.col("text"), F.lit("  ")))
+        .alias("text"))
+    out = dedup.dedup_against(d, reference, bloom_fpp=0.01)
+    return out.select("doc_id", "text")
+
+
 def q_gopher_rules(spark, sf_dir):
     """Gopher composite quality rules (word count / word length / symbol
     ratio / alpha words / stopword kinds / bullet + ellipsis line
@@ -866,6 +882,20 @@ def q_dsir_weights(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return sampling.dsir_weights(d, d.where(F.col("lang") == "en"),
                                  n_buckets=4096)
+
+
+def q_dsir_sample(spark, sf_dir):
+    """DSIR end-to-end: weights (as in ``dsir_weights``) then Gumbel-top-k
+    importance resampling of 500 docs — sampling without replacement with
+    probability ∝ exp(logw). Deterministic across engines: md5-derived
+    uniforms reduced to exactly-representable 52-bit doubles, scalar
+    glibc-log Gumbel transform, one IEEE addition, TakeOrdered top-n.
+    The oracle recomputes the whole chain including the noise."""
+    from json_schema_spark.pipeline import sampling
+    d = _t(spark, sf_dir, "documents")
+    w = sampling.dsir_weights(d, d.where(F.col("lang") == "en"),
+                              n_buckets=4096)
+    return sampling.importance_sample(w, n=500, seed=17)
 
 
 def q_prototypicality(spark, sf_dir):
@@ -1070,7 +1100,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "substring_dedup_keep_first": q_substring_dedup_keep_first,
         "prototypicality": q_prototypicality,
         "dsir_weights": q_dsir_weights,
+        "dsir_sample": q_dsir_sample,
         "dedup_against": q_dedup_against,
+        "dedup_against_bloom": q_dedup_against_bloom,
         "gopher_rules": q_gopher_rules,
         "semantic_dedup": q_semantic_dedup,
         "asof_click_before_purchase": q_asof_click_before_purchase,
@@ -1637,6 +1669,28 @@ def _dsir_oracle(n_buckets: int = 4096, alpha: float = 1.0) -> str:
                    AS logw
         FROM docfeat d JOIN lam l USING (bucket)
         GROUP BY d.doc_id
+    """
+
+
+def _dsir_sample_oracle(n: int = 500, seed: int = 17) -> str:
+    """DuckDB replica of dsir_weights -> importance_sample: the weights
+    CTE is the (hash-green) _dsir_oracle verbatim; the Gumbel key repeats
+    the Spark arithmetic exactly — 52-bit md5 uniform (every double
+    exactly representable), -ln(-ln(u)) in the same expression shape
+    (DuckDB ln == glibc log bit-for-bit), one addition, top-n."""
+    two52 = float(1 << 52)
+    return f"""
+        WITH w AS ({_dsir_oracle()}),
+        keyed AS (
+            SELECT doc_id, n_feats, logw,
+                   logw + (-ln(-ln(
+                       (CAST(CAST(concat('0x', substr(md5(concat(
+                            'gumbel|{seed}|', CAST(doc_id AS VARCHAR))),
+                            1, 15)) AS BIGINT) % {1 << 52} AS DOUBLE)
+                        + 0.5) / {two52!r}))) AS sample_key
+            FROM w
+        )
+        SELECT * FROM keyed ORDER BY sample_key DESC LIMIT {n}
     """
 
 
@@ -2360,7 +2414,11 @@ def oracle_sql() -> dict[str, str]:
         "substring_dedup_keep_first": _substring_dedup_oracle(keep_first=True),
         "prototypicality": _prototypicality_oracle(),
         "dsir_weights": _dsir_oracle(),
+        "dsir_sample": _dsir_sample_oracle(),
         "dedup_against": _dedup_against_oracle(),
+        # the Bloom pre-filter is exact by construction (anti-join corrects
+        # false positives) — same oracle, and the hash match proves it
+        "dedup_against_bloom": _dedup_against_oracle(),
         "gopher_rules": _gopher_oracle(),
         "semantic_dedup": _semantic_dedup_oracle(),
         "duplicate_clusters": f"""

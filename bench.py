@@ -16,8 +16,9 @@ executors per the north_rule — and reports throughput at both plus
 efficiency = tput_hi / (ratio × tput_lo).
 
 Usage:
-    python bench.py                     # full run (queries + validation + scaling)
+    python bench.py                     # full run (scaling + queries + validation)
     python bench.py --validate-only --cpus 8   # one validation measurement (JSON)
+    python bench.py --queries a,b,c     # one query cohort in this JVM (JSON)
     SPARK_GRAFT_NO_SCALING=1 python bench.py    # skip the scaling subprocesses
 """
 
@@ -73,6 +74,7 @@ BENCH_QUERIES = [
     "dsir_weights",
     "gopher_rules",
     "dedup_against",
+    "dedup_against_bloom",
 ]
 
 
@@ -157,15 +159,28 @@ def time_validation(spark) -> dict:
     annotated.write.format("noop").mode("overwrite").save()  # analysis+codegen+pass 0
     first_pass_s = time.time() - t0
 
-    # min-of-passes: the sandbox is a shared host with bursty CPU steal, so
-    # the minimum is the faithful steady-state estimator
-    passes, pass_load = [], []
-    for _ in range(BENCH_PASSES):
-        t0 = time.time()
-        annotated.write.format("noop").mode("overwrite").save()
-        passes.append(time.time() - t0)
-        pass_load.append(_load1())
-    steady_s = min(passes)
+    # min-of-passes over CLEAN windows: each pass is bracketed by steal
+    # probes (see StealProbe) so a co-tenant burst mid-measurement is
+    # detected per pass, not inferred after the fact from loadavg
+    probe = StealProbe()
+    passes, pass_load, pass_probes = [], [], []
+    try:
+        pb = probe.sample()
+        for _ in range(BENCH_PASSES):
+            t0 = time.time()
+            annotated.write.format("noop").mode("overwrite").save()
+            passes.append(time.time() - t0)
+            pass_load.append(_load1())
+            pa = probe.sample()
+            pass_probes.append([pb, pa])
+            pb = pa
+    finally:
+        probe.close()
+    ref = min([_load_probe_ref()] + probe.samples)
+    bound = PROBE_SLOW * ref
+    clean = [s for s, (b, a) in zip(passes, pass_probes)
+             if b <= bound and a <= bound]
+    steady_s = min(clean) if clean else min(passes)
 
     verdicts = result.verdicts.collect()
     n_docs = sum(r["docs"] for r in verdicts)
@@ -176,70 +191,205 @@ def time_validation(spark) -> dict:
         "first_pass_seconds": round(first_pass_s, 3),
         "pass_seconds": [round(x, 2) for x in passes],
         "pass_loadavg1": pass_load,
+        "pass_probes": pass_probes,
+        "clean_passes": len(clean),
+        "window_clean": bool(clean),
         "seconds": round(steady_s, 3),
         "docs_per_sec": round(n_docs / steady_s, 1),
     }
 
 
-def run_queries(spark) -> tuple:
+# r4 VERDICT #3 / r5 hardening: BENCH_r04's query table shipped
+# steal-contaminated, and the first r5 fix (ONE pure-CPU calibration after
+# the whole ~5-minute table) still let a MID-table burst through — the host
+# quieted down before the end-of-table check ran. The gate now has
+# per-query granularity: a ~90 ms pure-CPU 16-worker probe runs between
+# queries, each query's window is judged by its two adjacent probes against
+# the quietest probe ever observed on this host (persisted in
+# BENCH/probe_ref.json), and dirty queries are re-measured after a bounded
+# wait-for-quiet. Only clean-window timings enter "queries"; anything that
+# never saw a quiet window is listed separately in "queries_contaminated".
+PROBE_BURN_N = 500_000
+PROBE_ITEMS = 32
+PROBE_WORKERS = 16
+PROBE_SLOW = float(os.environ.get("SPARK_GRAFT_PROBE_SLOW", "1.35"))
+QUERY_RETRY_PASSES = int(os.environ.get("SPARK_GRAFT_QUERY_RETRIES", "2"))
+QUERY_COHORT = int(os.environ.get("SPARK_GRAFT_QUERY_COHORT", "12"))
+_REPO_DIR = os.path.dirname(os.path.abspath(__file__))
+PROBE_REF_PATH = os.path.join(_REPO_DIR, "BENCH", "probe_ref.json")
+
+
+class StealProbe:
+    """Pure-CPU availability probe: times a fixed 32-item burn on a
+    16-worker pool (~90 ms on a quiet host). Co-tenant steal slows the
+    probe in direct proportion to lost CPU, and the probe runs while the
+    Spark JVM is idle between queries, so it measures the HOST, not our
+    own job."""
+
+    def __init__(self):
+        self._pool = None
+        self.samples = []
+
+    def _ensure(self):
+        if self._pool is None:
+            import multiprocessing as mp
+            self._pool = mp.Pool(PROBE_WORKERS)
+            self._pool.map(_burn, [100] * PROBE_WORKERS)  # warm the pool
+        return self._pool
+
+    def sample(self) -> float:
+        p = self._ensure()
+        t0 = time.time()
+        p.map(_burn, [PROBE_BURN_N] * PROBE_ITEMS)
+        dt = round(time.time() - t0, 4)
+        self.samples.append(dt)
+        return dt
+
+    def close(self):
+        if self._pool is not None:
+            self._pool.terminate()
+            self._pool = None
+
+
+def _load_probe_ref() -> float:
+    try:
+        with open(PROBE_REF_PATH) as fh:
+            return float(json.load(fh)["probe_seconds"])
+    except (OSError, ValueError, KeyError):
+        return float("inf")
+
+
+def _save_probe_ref(ref: float) -> None:
+    try:
+        os.makedirs(os.path.dirname(PROBE_REF_PATH), exist_ok=True)
+        with open(PROBE_REF_PATH, "w") as fh:
+            json.dump({"probe_seconds": ref,
+                       "probe_burn_n": PROBE_BURN_N,
+                       "probe_items": PROBE_ITEMS,
+                       "probe_workers": PROBE_WORKERS}, fh)
+            fh.write("\n")
+    except OSError:
+        pass
+
+
+def run_queries(spark, names, probe: StealProbe) -> list:
+    """Time each query with a steal probe on both sides of its window."""
     import __spark_entry__ as entry_mod
 
-    timings, loads = {}, {}
     qs = entry_mod.queries()
-    for name in BENCH_QUERIES:
+    records = []
+    pb = probe.sample()
+    for name in names:
         t0 = time.time()
         # noop sink forces full column evaluation (count() would prune)
         qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
-        loads[name] = _load1()
+        dt = round(time.time() - t0, 3)
+        load = _load1()
         # pipeline ops persist multi-consumer intermediates (shingles,
         # signatures, bucket tables) scoped to one query run; drop them so
         # cached blocks don't accumulate across the session (ADVICE r2)
         spark.catalog.clearCache()
-    return timings, loads
+        pa = probe.sample()
+        records.append({"name": name, "seconds": dt, "loadavg1": load,
+                        "probe_before": pb, "probe_after": pa})
+        pb = pa
+    return records
 
 
-# r4 VERDICT #3: BENCH_r04's query table was steal-contaminated (its own
-# host calibration read 0.363) yet the numbers shipped anyway. A window is
-# VALID only if a pure-CPU calibration run right after it lands in the
-# host's known quiet band; outside it the queries are re-measured (min per
-# query across attempts, mins taken only over valid windows) and, if no
-# window validates, the contaminated table is moved aside — "queries" is
-# never silently wrong again.
-CALIB_VALID_LO = float(os.environ.get("SPARK_GRAFT_CALIB_LO", "0.7"))
-CALIB_VALID_HI = float(os.environ.get("SPARK_GRAFT_CALIB_HI", "1.05"))
-QUERY_ATTEMPTS = int(os.environ.get("SPARK_GRAFT_QUERY_ATTEMPTS", "2"))
+def _queries_child(names: list) -> None:
+    """Subprocess body for one query cohort: fresh JVM, warmup, timed
+    records with probes, ONE JSON line on stdout. Fresh JVMs per cohort
+    kill the shared-JVM debris effect (codegen cache + GC junk measured
+    ~2x slowdown on identical plans after ~28 workloads in one session)."""
+    spark = build_spark(CPUS)
+    spark.sparkContext.setLogLevel("ERROR")
+    # absorb session init + first-scan setup so the cohort's first query
+    # isn't charged for them
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(100).count()
+    probe = StealProbe()
+    try:
+        records = run_queries(spark, names, probe)
+    finally:
+        probe.close()
+        spark.stop()
+    print(json.dumps({"records": records}))
 
 
-def _calibration_valid(calib: dict) -> bool:
-    eff = calib.get("efficiency", -1.0)
-    return CALIB_VALID_LO <= eff <= CALIB_VALID_HI
+def _clean(rec: dict, ref: float) -> bool:
+    bound = PROBE_SLOW * ref
+    return rec["probe_before"] <= bound and rec["probe_after"] <= bound
 
 
-def run_queries_calibrated(spark) -> dict:
-    """Query timings with window validation: measure, calibrate, retry on a
-    stolen window. Returns {"queries": <valid table or None>, plus
-    per-attempt raw detail for the committed artifact}."""
-    attempts = []
-    for i in range(QUERY_ATTEMPTS):
-        timings, loads = run_queries(spark)
-        calib = host_parallel_efficiency(SCALE_LO, SCALE_HI)
-        valid = _calibration_valid(calib)
-        attempts.append({"timings": timings, "loadavg1": loads,
-                         "calibration": calib, "window_valid": valid})
-        if valid:
-            break
-    valid_tables = [a["timings"] for a in attempts if a["window_valid"]]
-    if valid_tables:
-        queries = {name: min(t[name] for t in valid_tables)
-                   for name in valid_tables[0]}
-        invalidated = None
-    else:
-        queries = None  # refuse: every window was steal-contaminated
-        invalidated = {name: min(a["timings"][name] for a in attempts)
-                       for name in attempts[0]["timings"]}
-    return {"queries": queries, "queries_attempts": attempts,
-            "queries_contaminated": invalidated}
+def _wait_for_quiet(probe: StealProbe, ref: float, max_wait_s: float) -> None:
+    """Steal bursts last minutes; an immediate retry usually re-hits the
+    same burst. Poll the probe until the host reads quiet (bounded)."""
+    t0 = time.time()
+    while time.time() - t0 < max_wait_s:
+        if probe.sample() <= PROBE_SLOW * ref:
+            return
+        time.sleep(10)
+
+
+def run_queries_cohorted(t_start: float) -> dict:
+    """Query timings from fresh-JVM subprocess cohorts with per-query
+    probe windows. Returns the clean-window table, the contaminated
+    leftovers, and the full per-record detail for the artifact."""
+    cohorts = [BENCH_QUERIES[i:i + QUERY_COHORT]
+               for i in range(0, len(BENCH_QUERIES), QUERY_COHORT)]
+
+    def spawn(names: list) -> list:
+        proc = subprocess.run(
+            [sys.executable, __file__, "--queries", ",".join(names)],
+            capture_output=True, text=True, timeout=3600,
+            env=dict(os.environ), cwd=_REPO_DIR)
+        try:
+            return json.loads(proc.stdout.strip().splitlines()[-1])["records"]
+        except (ValueError, IndexError, KeyError):
+            print(f"bench: query cohort failed:\n{proc.stderr[-2000:]}",
+                  file=sys.stderr)
+            raise
+
+    records = []
+    for names in cohorts:
+        records.extend(spawn(names))
+
+    parent_probe = StealProbe()
+    try:
+        def current_ref() -> float:
+            session_min = min(r["probe_before"] for r in records)
+            session_min = min(session_min,
+                              min(r["probe_after"] for r in records),
+                              min(parent_probe.samples, default=float("inf")))
+            return min(_load_probe_ref(), session_min)
+
+        for _ in range(QUERY_RETRY_PASSES):
+            ref = current_ref()
+            dirty = [n for n in BENCH_QUERIES
+                     if not any(r["name"] == n and _clean(r, ref)
+                                for r in records)]
+            if not dirty or time.time() - t_start > BUDGET_S:
+                break
+            _wait_for_quiet(parent_probe, ref, max_wait_s=120)
+            records.extend(spawn(dirty))
+
+        ref = current_ref()
+        queries, contaminated = {}, {}
+        for name in BENCH_QUERIES:
+            mine = [r for r in records if r["name"] == name]
+            good = [r["seconds"] for r in mine if _clean(r, ref)]
+            if good:
+                queries[name] = min(good)
+            else:
+                contaminated[name] = min(r["seconds"] for r in mine)
+        _save_probe_ref(ref if ref != float("inf") else min(
+            r["probe_before"] for r in records))
+    finally:
+        parent_probe.close()
+    return {"queries": queries,
+            "queries_contaminated": contaminated or None,
+            "queries_records": records,
+            "probe_ref_seconds": ref, "probe_slow_factor": PROBE_SLOW}
 
 
 SCALING_DOCS = int(os.environ.get("SPARK_GRAFT_SCALING_DOCS", "5000000"))
@@ -307,23 +457,49 @@ def scaling_measurement(hi_result: dict = None) -> dict:
 
     # co-tenant CPU steal on this host varies over minutes, so a sequential
     # lo-then-hi sample compares DIFFERENT host conditions. Interleave fresh
-    # JVMs per level (lo, hi, lo, hi, ...) and take min-of-all-passes per
-    # level: both levels get a shot at a clean window from the same period.
+    # JVMs per level (lo, hi, lo, hi, ...) and take min-of-CLEAN-passes per
+    # level (each pass probe-bracketed by the child); a level that never
+    # saw a quiet window gets extra rounds after a bounded wait-for-quiet.
     n_rounds = int(os.environ.get("SPARK_GRAFT_SCALE_ROUNDS", "3"))
     out = {"rounds": []}
-    passes = {lo_cpus: [], hi_cpus: []}
+    passes = {lo_cpus: [], hi_cpus: []}   # (seconds, clean) pairs
     docs = None
+
+    def record(cpus, r):
+        nonlocal docs
+        out["rounds"].append({"cpus": cpus, **r})
+        flags = r.get("pass_probes") or [[0.0, 0.0]] * len(r["pass_seconds"])
+        ref = min([_load_probe_ref()]
+                  + [p for pair in flags for p in pair if p > 0.0])
+        bound = PROBE_SLOW * ref
+        for s, (b, a) in zip(r["pass_seconds"], flags):
+            passes[cpus].append((s, b <= bound and a <= bound))
+        docs = r["docs"]
+
     for _ in range(n_rounds):
         for cpus in (lo_cpus, hi_cpus):
-            r = run_level(cpus)
-            out["rounds"].append({"cpus": cpus, **r})
-            passes[cpus].extend(r["pass_seconds"])
-            docs = r["docs"]
+            record(cpus, run_level(cpus))
+    parent_probe = StealProbe()
+    try:
+        for cpus in (lo_cpus, hi_cpus):
+            extra = 0
+            while not any(c for _, c in passes[cpus]) and extra < 2:
+                ref = min([_load_probe_ref()]
+                          + parent_probe.samples) if parent_probe.samples \
+                    else _load_probe_ref()
+                _wait_for_quiet(parent_probe, ref, max_wait_s=120)
+                record(cpus, run_level(cpus))
+                extra += 1
+    finally:
+        parent_probe.close()
     for cpus in (lo_cpus, hi_cpus):
-        best = min(passes[cpus])
+        clean = [s for s, c in passes[cpus] if c]
+        best = min(clean) if clean else min(s for s, _ in passes[cpus])
         out[f"local[{cpus}]"] = {
             "docs": docs,
-            "pass_seconds": passes[cpus],
+            "pass_seconds": [s for s, _ in passes[cpus]],
+            "clean_passes": len(clean),
+            "window_clean": bool(clean),
             "seconds": round(best, 3),
             "docs_per_sec": round(docs / best, 1),
         }
@@ -336,9 +512,10 @@ def scaling_measurement(hi_result: dict = None) -> dict:
     return out
 
 
-# scaling evidence is the north_rule's hard criterion — only skip it when
-# the query/validation phase ran pathologically long
-BUDGET_S = int(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "900"))
+# soft budget: scaling runs unconditionally (first), so the budget only
+# gates query RE-measurement passes — past it, dirty queries stay in
+# queries_contaminated instead of being retried
+BUDGET_S = int(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "1500"))
 
 
 def main() -> None:
@@ -357,60 +534,72 @@ def main() -> None:
         print(json.dumps(result))
         spark.stop()
         return
+    if "--queries" in sys.argv:
+        _queries_child(sys.argv[sys.argv.index("--queries") + 1].split(","))
+        return
 
-    spark = build_spark(CPUS)
-    spark.sparkContext.setLogLevel("ERROR")
-    ensure_corpus(spark)
-
-    qres = run_queries_calibrated(spark)
-    queries = qres["queries"]
-    validation = time_validation(spark)
-    spark.stop()
-
-    # The headline steady-state number comes from a FRESH subprocess JVM:
-    # after 28 query workloads the shared JVM carries codegen-cache and GC
-    # debris that measured ~2x slower than a clean JVM on the identical
-    # pass (in-process 11.0 s vs fresh 5.6-6.9 s at the same worker count
-    # in the same window) — the fresh number is the one a real long-running
-    # validation job sees. The in-process figure is kept alongside.
-    try:
-        proc = subprocess.run(
-            [sys.executable, __file__, "--validate-only", "--cpus", str(CPUS)],
-            capture_output=True, text=True, timeout=1800, env=dict(os.environ),
-            cwd=os.path.dirname(os.path.abspath(__file__)))
-        fresh = json.loads(proc.stdout.strip().splitlines()[-1])
-        validation = {**fresh, "fresh_jvm": True,
-                      "inprocess_seconds": validation["seconds"],
-                      "inprocess_docs_per_sec": validation["docs_per_sec"]}
-    except Exception as exc:
-        # fall back to the in-process measurement, but NEVER silently: the
-        # two paths are not comparable (shared-JVM debris measured ~2x
-        # slower), so the artifact must say which one produced the number
-        print(f"bench: fresh-JVM validation re-measure failed "
-              f"({type(exc).__name__}: {exc}); falling back to the "
-              f"in-process figure", file=sys.stderr)
-        validation = {**validation, "fresh_jvm": False,
-                      "fresh_jvm_error": f"{type(exc).__name__}: {exc}"[:200]}
-
+    # scaling is the north_rule's hard criterion (throughput at N vs 4N
+    # cores) — run it FIRST so it can never fall off the end of the time
+    # budget (r5's first full run skipped it exactly that way)
     scaling = {}
     if not os.environ.get("SPARK_GRAFT_NO_SCALING"):
-        if time.time() - t_start > BUDGET_S * 0.7:
-            scaling = {"skipped": "over time budget; see BENCH/BASELINE.md for recorded numbers"}
-        else:
-            try:
-                scaling = scaling_measurement(hi_result=validation)
-            except Exception as exc:  # scaling is evidence, not a gate
-                scaling = {"error": str(exc)[:200]}
+        try:
+            scaling = scaling_measurement()
+        except Exception as exc:  # scaling is evidence, not a gate
+            scaling = {"error": str(exc)[:200]}
 
-    total = round(sum(queries.values()) + validation["seconds"], 3) \
-        if queries is not None else round(validation["seconds"], 3)
+    qres = run_queries_cohorted(t_start)
+    queries = qres["queries"]
+
+    # The headline steady-state number comes from a FRESH subprocess JVM —
+    # the number a real long-running validation job sees (shared-JVM
+    # codegen-cache/GC debris measured ~2x slower on the identical pass).
+    # The child probe-brackets each pass; a measurement whose every pass
+    # was stolen is retried after a bounded wait-for-quiet.
+    try:
+        attempts = []
+        for i in range(3):
+            proc = subprocess.run(
+                [sys.executable, __file__, "--validate-only",
+                 "--cpus", str(CPUS)],
+                capture_output=True, text=True, timeout=1800,
+                env=dict(os.environ), cwd=_REPO_DIR)
+            attempts.append(
+                json.loads(proc.stdout.strip().splitlines()[-1]))
+            if attempts[-1].get("window_clean", True):
+                break
+            wp = StealProbe()
+            try:
+                _wait_for_quiet(wp, _load_probe_ref(), max_wait_s=120)
+            finally:
+                wp.close()
+        clean_atts = [a for a in attempts if a.get("window_clean", True)]
+        best = min(clean_atts or attempts, key=lambda a: a["seconds"])
+        validation = {**best, "fresh_jvm": True,
+                      "validation_attempts": len(attempts)}
+    except Exception as exc:
+        # fall back to an in-process measurement, but NEVER silently: the
+        # two paths are not comparable, so the artifact must say which one
+        # produced the number
+        print(f"bench: fresh-JVM validation measure failed "
+              f"({type(exc).__name__}: {exc}); falling back to in-process",
+              file=sys.stderr)
+        spark = build_spark(CPUS)
+        spark.sparkContext.setLogLevel("ERROR")
+        validation = {**time_validation(spark), "fresh_jvm": False,
+                      "fresh_jvm_error": f"{type(exc).__name__}: {exc}"[:200]}
+        spark.stop()
+
+    total = round(sum(queries.values()) + validation["seconds"], 3)
     result = {
         "metric": f"headline queries + typed validation (validated docs/sec); scaling efficiency local[{SCALE_LO}]->local[{SCALE_HI}] (N vs 4N cores, interleaved min-of-passes, host-calibrated)",
         "value": total,
         "unit": "sec",
         "queries": queries,
-        "queries_attempts": qres["queries_attempts"],
+        "queries_records": qres["queries_records"],
         "queries_contaminated": qres["queries_contaminated"],
+        "probe_ref_seconds": qres["probe_ref_seconds"],
+        "probe_slow_factor": qres["probe_slow_factor"],
         "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
         "validation": validation,
         "scaling": scaling,
@@ -434,12 +623,8 @@ def main() -> None:
     compact["validation"] = {k: v for k, v in validation.items()
                              if k != "pass_seconds"}
     # keep the compact line parseable within the driver's bounded stdout
-    # tail: per-attempt detail lives in BENCH/last_run.json; the line keeps
-    # only each attempt's calibration verdict
-    compact["queries_attempts"] = [
-        {"window_valid": a["window_valid"],
-         "calibration_efficiency": a["calibration"].get("efficiency")}
-        for a in qres["queries_attempts"]]
+    # tail: per-record probe detail lives in BENCH/last_run.json
+    compact.pop("queries_records", None)
     print(json.dumps(compact))
 
 

@@ -723,9 +723,50 @@ def substring_dedup(df: DataFrame, text_col: str = "text",
     return cache.register(out, anchors)
 
 
+def _bloom_params(n: int, fpp: float) -> tuple:
+    """Standard Bloom sizing: m bits (rounded to whole 64-bit words) and
+    k hashes for ``n`` expected items at false-positive rate ``fpp``."""
+    import math
+
+    m = max(64, int(math.ceil(-n * math.log(fpp) / (math.log(2) ** 2))))
+    m = ((m + 63) // 64) * 64
+    k = max(1, int(round(m / n * math.log(2))))
+    return m, k
+
+
+def _bloom_positions(fp_col, m: int, k: int):
+    """k Bloom bit positions as an array<bigint> column. Computed with the
+    SAME seeded-xxhash64 expression on the build side and the probe side,
+    so false NEGATIVES are structurally impossible — there is no
+    Python-vs-JVM hash-parity surface at all."""
+    return F.array(*[F.pmod(F.xxhash64(F.lit(i), fp_col), F.lit(m))
+                     for i in range(k)])
+
+
+def _bloom_test_udf(bitmap_bc):
+    """positions array<bigint> -> bool: all k bits set in the broadcast
+    bitmap. One numpy gather per Arrow batch — no per-row Python."""
+    import numpy as np
+    import pandas as pd
+
+    @F.pandas_udf("boolean")
+    def test(positions):
+        bm = np.frombuffer(bitmap_bc.value, dtype=np.uint64)
+        if len(positions) == 0:
+            return pd.Series([], dtype=bool)
+        mat = np.array(positions.tolist(), dtype=np.int64)
+        words = bm[mat >> 6]
+        bits = np.right_shift(words, (mat & 63).astype(np.uint64)) & np.uint64(1)
+        return pd.Series(bits.all(axis=1))
+
+    return test
+
+
 def dedup_against(df: DataFrame, reference: DataFrame,
                   text_col: str = "text", id_col: str = "doc_id",
-                  broadcast_reference: bool = False) -> DataFrame:
+                  broadcast_reference: bool = False,
+                  bloom_fpp: Optional[float] = None,
+                  bloom_expected_items: Optional[int] = None) -> DataFrame:
     """Rows of ``df`` whose normalized exact fingerprint does NOT occur in
     ``reference`` — cross-corpus exact deduplication, the standard
     incremental-crawl pass ("drop from the new snapshot everything the
@@ -739,14 +780,70 @@ def dedup_against(df: DataFrame, reference: DataFrame,
     hash key (md5), so there is no skew by construction; set
     ``broadcast_reference=True`` only when the reference fingerprint set
     genuinely fits in executor memory. Note Spark will NOT inject a
-    runtime Bloom filter into an anti-join (false positives would wrongly
-    DROP rows) — the shuffle is the honest cost of exactness; for a
-    lossy pre-filter at extreme scale, semi-join the batch against a
-    Bloom sketch of the reference first and anti-join only survivors."""
+    runtime Bloom filter into an anti-join on its own (false positives
+    would wrongly DROP rows).
+
+    ``bloom_fpp`` enables the exact-result Bloom pre-filter for extreme
+    scale: a bitmap over the reference fingerprints is built by a
+    DISTRIBUTED ``bit_or`` aggregation over 64-bit words (at most m/64
+    groups, uniform keys), collected once (the bitmap's intrinsic size,
+    ~1.2 MB per million reference docs at fpp=0.01) and broadcast. Rows
+    whose k probe bits are not all set are DEFINITELY new and bypass the
+    anti-join shuffle entirely; only the Bloom-positive sliver (true
+    duplicates + ~fpp of the new rows) shuffles into the exact anti-join
+    that corrects false positives — the result is EXACT either way, fpp
+    only tunes how much of the snapshot shuffles. The input is scanned
+    twice (the two branches), which at 100 TB is the right trade against
+    shuffling the whole snapshot. Building the bitmap runs two eager jobs
+    at plan-build time (reference fingerprint count when
+    ``bloom_expected_items`` is not given, then the word aggregation);
+    the reference fingerprint set is persisted across its two consumers
+    and registered on the result for ``cache.release``."""
+    if bloom_fpp is not None and not 0.0 < bloom_fpp < 1.0:
+        raise ValueError("bloom_fpp must be in (0, 1)")
     ref = (reference.select(fingerprint(F.col(text_col)).alias("__fp"))
            .distinct())
+    fp = fingerprint(F.col(text_col))
+    if bloom_fpp is not None:
+        ref = ref.persist()
+        n = (bloom_expected_items if bloom_expected_items is not None
+             else ref.count())
+        if n == 0:  # empty reference: every row is new, exactly
+            return cache.register(df, ref)
+        import numpy as np
+
+        m, k = _bloom_params(n, bloom_fpp)
+        if m > (1 << 33):
+            _LOG.warning(
+                "dedup_against: Bloom bitmap is %.1f GiB (n=%d, fpp=%g) — "
+                "consider a larger fpp or a bucketed fingerprint store",
+                m / 8 / 2**30, n, bloom_fpp)
+        pos = ref.select(F.explode(_bloom_positions(F.col("__fp"), m, k))
+                         .alias("__p"))
+        # bit_or is idempotent, so no DISTINCT pass is needed before the
+        # word aggregation — one map-side-combined shuffle on word index
+        words = (pos.select(F.shiftright(F.col("__p"), 6).alias("__w"),
+                            F.expr("shiftleft(CAST(1 AS BIGINT), "
+                                   "CAST(__p % 64 AS INT))").alias("__b"))
+                 .groupBy("__w").agg(F.bit_or("__b").alias("__word"))
+                 .collect())
+        bitmap = np.zeros(m // 64, dtype=np.int64)
+        for r in words:
+            bitmap[r["__w"]] = r["__word"]
+        bc = df.sparkSession.sparkContext.broadcast(
+            bitmap.view(np.uint64).tobytes())
+        test = _bloom_test_udf(bc)
+        flagged = (df.withColumn("__fp", fp)
+                   .withColumn("__mc",
+                               test(_bloom_positions(F.col("__fp"), m, k))))
+        definite_new = flagged.where(~F.col("__mc"))
+        candidates = (flagged.where(F.col("__mc"))
+                      .join(ref, "__fp", "left_anti"))
+        out = (definite_new.select(*df.columns)
+               .unionByName(candidates.select(*df.columns)))
+        return cache.register(out, ref)
     if broadcast_reference:
         ref = F.broadcast(ref)
-    return (df.withColumn("__fp", fingerprint(F.col(text_col)))
+    return (df.withColumn("__fp", fp)
             .join(ref, "__fp", "left_anti")
             .drop("__fp"))

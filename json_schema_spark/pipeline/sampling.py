@@ -250,3 +250,51 @@ def dsir_weights(df: DataFrame, target: DataFrame, n_buckets: int = 65536,
                  / F.lit(1e9)).alias("logw")))
     from . import cache
     return cache.register(out, docfeat, ct)
+
+
+def importance_sample(df: DataFrame, n: int, logw_col: str = "logw",
+                      id_col: str = "doc_id", seed: int = 17) -> DataFrame:
+    """Gumbel-top-k importance resampling — the selection half of DSIR
+    (Xie et al. 2023): draw ``n`` rows WITHOUT replacement with
+    probability proportional to ``exp(logw)`` by ranking on
+    ``sample_key = logw + Gumbel(0,1)`` and keeping the top n (the
+    Gumbel-max trick; feed it ``dsir_weights`` output). All input columns
+    survive, plus ``sample_key``.
+
+    Determinism across engines (the oracle hash-matches): the uniform is
+    md5-derived — u = (h52 + 0.5) / 2^52 with h52 the md5-prefix integer
+    reduced mod 2^52, so every float is EXACTLY representable and both
+    engines compute bit-identical u from the same id; the Gumbel
+    transform −ln(−ln(u)) uses scalar glibc ``math.log`` (bit-identical
+    to DuckDB ``ln``; numpy's SIMD log is NOT) with the same expression
+    shape; the single ``logw + g`` addition is IEEE-exact on equal
+    operands. The hash domain is prefixed ``gumbel|seed|`` — independent
+    of the split/sample/shard domains, so composing with ``hash_split``
+    stays unbiased.
+
+    Scale shape: the key is row-local (no shuffle before ranking) and the
+    top-n runs as TakeOrdered — per-partition heaps of n, one O(n)
+    driver merge, never a global sort. Driver memory bounds n (fine for
+    the select-a-corpus-slice sizes DSIR targets); for n beyond driver
+    memory, rank with a window over md5 shards instead."""
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    import math
+
+    import pandas as pd  # noqa: F401
+
+    h52 = F.pmod(
+        md5_int(F.concat(F.lit(f"gumbel|{seed}|"), F.col(id_col)
+                         .cast("string"))),
+        F.lit(1 << 52))
+    u = (h52.cast("double") + F.lit(0.5)) / F.lit(float(1 << 52))
+
+    @F.pandas_udf("double")
+    def gumbel(u_s):
+        # scalar math.log per row: glibc log == DuckDB ln bit-for-bit;
+        # np.log's SIMD path diverges in the last ulp on ~19% of inputs
+        return pd.Series([-math.log(-math.log(v)) for v in u_s.tolist()])
+
+    return (df.withColumn("sample_key", F.col(logw_col) + gumbel(u))
+            .orderBy(F.col("sample_key").desc())
+            .limit(n))

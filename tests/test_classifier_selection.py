@@ -132,3 +132,63 @@ class TestDsirWeights:
         with pytest.raises(ValueError):
             dsir_weights(self._corpus(spark), self._corpus(spark),
                          n_buckets=1)
+
+
+class TestImportanceSample:
+    def _weights(self, spark):
+        rows = [(i, float(i) / 7.0 - 1.5) for i in range(60)]
+        return spark.createDataFrame(rows, "doc_id bigint, logw double")
+
+    @staticmethod
+    def _expected_key(doc_id, logw, seed=17):
+        # independent Python replica of the md5 Gumbel key
+        import hashlib
+        import math
+
+        h = int(hashlib.md5(f"gumbel|{seed}|{doc_id}".encode())
+                .hexdigest()[:15], 16) % (1 << 52)
+        u = (float(h) + 0.5) / float(1 << 52)
+        return logw + (-math.log(-math.log(u)))
+
+    def test_matches_python_replica(self, spark):
+        from json_schema_spark.pipeline.sampling import importance_sample
+
+        w = self._weights(spark)
+        got = {r.doc_id: r.sample_key
+               for r in importance_sample(w, n=15).collect()}
+        exp = sorted(((self._expected_key(i, i / 7.0 - 1.5), i)
+                      for i in range(60)), reverse=True)[:15]
+        assert got == {i: k for k, i in exp}
+
+    def test_returns_all_when_n_exceeds_rows(self, spark):
+        from json_schema_spark.pipeline.sampling import importance_sample
+
+        w = self._weights(spark)
+        assert importance_sample(w, n=1000).count() == 60
+
+    def test_partition_invariant(self, spark):
+        from json_schema_spark.pipeline.sampling import importance_sample
+
+        w = self._weights(spark)
+        a = sorted(r.doc_id for r in
+                   importance_sample(w.repartition(1), n=10).collect())
+        b = sorted(r.doc_id for r in
+                   importance_sample(w.repartition(7, "doc_id"),
+                                     n=10).collect())
+        assert a == b
+
+    def test_huge_weight_always_selected(self, spark):
+        from json_schema_spark.pipeline.sampling import importance_sample
+
+        w = self._weights(spark).union(
+            spark.createDataFrame([(999, 1e6)], "doc_id bigint, logw double"))
+        for seed in (1, 2, 3):
+            got = {r.doc_id for r in
+                   importance_sample(w, n=5, seed=seed).collect()}
+            assert 999 in got
+
+    def test_n_guard(self, spark):
+        from json_schema_spark.pipeline.sampling import importance_sample
+
+        with pytest.raises(ValueError):
+            importance_sample(self._weights(spark), n=0)

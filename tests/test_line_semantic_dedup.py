@@ -307,3 +307,39 @@ class TestDedupAgainst:
         b = sorted(r.doc_id for r in dedup.dedup_against(
             new, ref, broadcast_reference=True).collect())
         assert a == b == [i for i in range(10) if i % 3 != 0]
+
+    def test_bloom_variant_exact_parity(self, spark):
+        # 400 docs, every 4th held by the reference; a high fpp (0.2)
+        # forces plenty of false positives through the correction join —
+        # the result must still be EXACT
+        new = spark.createDataFrame(
+            [(i, f"snapshot document number {i} body") for i in range(400)],
+            "doc_id bigint, text string")
+        ref = new.where(F.col("doc_id") % 4 == 0)
+        res = dedup.dedup_against(new, ref, bloom_fpp=0.2)
+        got = sorted(r.doc_id for r in res.collect())
+        assert got == [i for i in range(400) if i % 4 != 0]
+        cache.release(res)
+
+    def test_bloom_null_text_and_empty_reference(self, spark):
+        new = spark.createDataFrame(
+            [(0, "kept doc"), (1, None), (2, "held doc")],
+            "doc_id bigint, text string")
+        ref = spark.createDataFrame([(9, "held doc")],
+                                    "doc_id bigint, text string")
+        res = dedup.dedup_against(new, ref, bloom_fpp=0.01)
+        # NULL fingerprints never match anything — NULL-text rows survive,
+        # matching the plain anti-join's NULL-key semantics
+        assert sorted(r.doc_id for r in res.collect()) == [0, 1]
+        cache.release(res)
+        empty = ref.where(F.lit(False))
+        res2 = dedup.dedup_against(new, empty, bloom_fpp=0.01)
+        assert res2.count() == 3
+        cache.release(res2)
+
+    def test_bloom_sizing(self):
+        m, k = dedup._bloom_params(1000, 0.01)
+        assert m % 64 == 0 and m >= 9000  # ~9.6 bits/item at 1% fpp
+        assert 5 <= k <= 9
+        with pytest.raises(ValueError):
+            dedup.dedup_against(None, None, bloom_fpp=1.5)

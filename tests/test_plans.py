@@ -205,3 +205,22 @@ def test_substring_dedup_single_arrow_stage(spark):
     assert plan.count("ArrowEvalPython") == 1, plan
     assert "BatchEvalPython" not in plan, plan  # no row-at-a-time UDF
     cache.release(res)
+
+
+def test_bloom_dedup_against_definite_new_branch_avoids_join(spark):
+    """The Bloom pre-filter's value is structural: definite-new rows take
+    a join-free branch (scan -> probe -> filter), and only the
+    Bloom-positive branch carries the exact anti-join."""
+    from json_schema_spark.pipeline import cache, dedup
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    ref = docs.where(F.col("doc_id") % 4 == 0).select("text")
+    res = dedup.dedup_against(docs.select("doc_id", "text"), ref,
+                              bloom_fpp=0.01)
+    plan = _plan(res)
+    assert "Union" in plan, plan
+    # exactly one anti-join in the whole plan — the correction join
+    assert plan.count("LeftAnti") == 1, plan
+    # the membership test is Arrow-vectorized, never row-at-a-time
+    assert "BatchEvalPython" not in plan, plan
+    cache.release(res)
