@@ -307,6 +307,18 @@ def _queries_child(names: list) -> None:
     # isn't charged for them
     spark.range(1_000_000).selectExpr("sum(id)").collect()
     spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(100).count()
+    # pre-spawn the Python UDF workers: the first pandas-UDF stage in a
+    # JVM pays a one-time ~2-4 s 32-process spin-up (python.worker.reuse
+    # keeps them warm afterwards) — without this the cohort's first
+    # UDF-bearing query absorbs it
+    from pyspark.sql import functions as SF
+
+    @SF.pandas_udf("long")
+    def _warm(s):
+        return s
+
+    (spark.range(320_000).repartition(CPUS).select(_warm(SF.col("id")))
+     .write.format("noop").mode("overwrite").save())
     probe = StealProbe()
     try:
         records = run_queries(spark, names, probe)

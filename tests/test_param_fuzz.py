@@ -268,6 +268,18 @@ def test_fuzz_dedup_family(spark, fuzz_dir, fuzz_duck, seed):
            f"jaccard {label} thr={threshold} freq={max_freq}")
     cache.release(pairs)
 
+    # Bloom pre-filter exactness at a random fpp / reference slice: the
+    # plain anti-join is the oracle — any false positive the correction
+    # join misses, or any false negative at all, breaks set equality
+    fpp = rng.choice([0.3, 0.1, 0.01, 0.001])
+    mod = rng.choice([2, 3, 5])
+    ref = d.where(F.col("doc_id") % mod == 0).select("text")
+    plain = {r.doc_id for r in dedup.dedup_against(d, ref).collect()}
+    res = dedup.dedup_against(d, ref, bloom_fpp=fpp)
+    assert {r.doc_id for r in res.collect()} == plain, \
+        f"bloom parity seed={seed} fpp={fpp} mod={mod}"
+    cache.release(res)
+
 
 @pytest.mark.parametrize("seed", SEEDS)
 def test_fuzz_text_family(spark, fuzz_dir, fuzz_duck, seed):
@@ -324,6 +336,29 @@ def test_fuzz_sampling_family(spark, fuzz_dir, fuzz_duck, seed):
     sp = sampling.hash_split(d, splits, seed=seed).select("doc_id", "split")
     _check(sp, fuzz_duck, _split_sql(splits, seed),
            f"split seed={seed} {splits}")
+
+    # Gumbel-top-k: random (n, gumbel seed) against regenerated SQL — the
+    # float noise chain (52-bit uniform, two lns, one add) must match
+    # bit-for-bit at any parameter point, not just the golden one
+    n = rng.randrange(5, 100)
+    gseed = rng.randrange(0, 10_000)
+    w = d.select("doc_id", F.expr(
+        "CAST(doc_id % 13 AS DOUBLE) / 3.0 - 1.5").alias("logw"))
+    out = sampling.importance_sample(w, n=n, seed=gseed)
+    two52 = 1 << 52
+    h = _MD5_INT.format(
+        x=f"concat('gumbel|{gseed}|', CAST(doc_id AS VARCHAR))")
+    _check(out, fuzz_duck, f"""
+        WITH w AS (SELECT doc_id,
+                          CAST(doc_id % 13 AS DOUBLE) / 3.0 - 1.5 AS logw
+                   FROM documents),
+        keyed AS (SELECT doc_id, logw,
+                         logw + (-ln(-ln((CAST({h} % {two52} AS DOUBLE)
+                                          + 0.5) / {float(two52)!r})))
+                             AS sample_key
+                  FROM w)
+        SELECT * FROM keyed ORDER BY sample_key DESC LIMIT {n}
+    """, f"importance_sample seed={seed} n={n} gseed={gseed}")
 
 
 @pytest.mark.parametrize("seed", SEEDS)
