@@ -224,3 +224,16 @@ def test_bloom_dedup_against_definite_new_branch_avoids_join(spark):
     # the membership test is Arrow-vectorized, never row-at-a-time
     assert "BatchEvalPython" not in plan, plan
     cache.release(res)
+
+
+def test_importance_sample_is_takeordered(spark):
+    """Gumbel-top-k must rank via per-partition heaps (TakeOrdered), never
+    a global sort — the difference between O(n log k) per partition and a
+    full-corpus range shuffle."""
+    from json_schema_spark.pipeline import sampling
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    w = docs.select("doc_id", (F.col("n_chars") / 100.0).alias("logw"))
+    plan = _plan(sampling.importance_sample(w, n=50))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Sort " not in plan, plan
