@@ -898,6 +898,21 @@ def q_dsir_sample(spark, sf_dir):
     return sampling.importance_sample(w, n=500, seed=17)
 
 
+def q_split_leakage(spark, sf_dir):
+    """Eval-leakage QA: exact-duplicate fingerprints spanning 'train' and
+    a holdout split of a hash_split. The corpus is the documents table
+    plus a re-keyed copy of the doc_id %% 7 slice (new ids -> independent
+    split assignment), modeling the classic failure of splitting a corpus
+    that was deduplicated under a DIFFERENT key — the planted re-keys
+    (and the corpus's own exact-dup clusters) make the check non-vacuous.
+    One row-local fingerprint+split pass and one md5-keyed groupBy."""
+    from json_schema_spark.pipeline import sampling
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    rekeyed = (d.where(F.col("doc_id") % 7 == 0)
+               .withColumn("doc_id", F.col("doc_id") + F.lit(10_000_000)))
+    return sampling.split_leakage(d.unionByName(rekeyed))
+
+
 def q_prototypicality(spark, sf_dir):
     """D4/SSL-prototypes pruning signal: exact cosine to the assigned
     coarse centroid + within-cluster percent_rank, so redundancy (near
@@ -1101,6 +1116,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "prototypicality": q_prototypicality,
         "dsir_weights": q_dsir_weights,
         "dsir_sample": q_dsir_sample,
+        "split_leakage": q_split_leakage,
         "dedup_against": q_dedup_against,
         "dedup_against_bloom": q_dedup_against_bloom,
         "gopher_rules": q_gopher_rules,
@@ -1691,6 +1707,46 @@ def _dsir_sample_oracle(n: int = 500, seed: int = 17) -> str:
             FROM w
         )
         SELECT * FROM keyed ORDER BY sample_key DESC LIMIT {n}
+    """
+
+
+def _split_leakage_oracle(seed: int = 42) -> str:
+    """DuckDB replica of sampling.split_leakage over the same planted
+    re-keyed corpus: normalized fingerprint, md5 split buckets
+    (train<9000, val<9500, else test), per-fingerprint conditional
+    counts, leak filter. Sums cast to BIGINT (DuckDB sum(int) is HUGEINT
+    — kind-level hash mismatch otherwise)."""
+    h = _MD5_INT.format(x=f"concat('split_{seed}_', CAST(doc_id AS VARCHAR))")
+    return f"""
+        WITH corpus AS (
+            SELECT doc_id, text FROM documents
+            UNION ALL
+            SELECT doc_id + 10000000 AS doc_id, text
+            FROM documents WHERE doc_id % 7 = 0
+        ),
+        labeled AS (
+            SELECT doc_id,
+                   md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+                       AS fingerprint,
+                   CASE WHEN {h} % 10000 < 9000 THEN 'train'
+                        WHEN {h} % 10000 < 9500 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM corpus
+            WHERE text IS NOT NULL
+        ),
+        agg AS (
+            SELECT fingerprint,
+                   CAST(sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_train,
+                   CAST(sum(CASE WHEN split = 'val' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_val,
+                   CAST(sum(CASE WHEN split = 'test' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_test,
+                   min(CASE WHEN split <> 'train' THEN doc_id END)
+                       AS leaked_doc_id
+            FROM labeled GROUP BY fingerprint
+        )
+        SELECT * FROM agg WHERE n_train > 0 AND n_val + n_test > 0
     """
 
 
@@ -2415,6 +2471,7 @@ def oracle_sql() -> dict[str, str]:
         "prototypicality": _prototypicality_oracle(),
         "dsir_weights": _dsir_oracle(),
         "dsir_sample": _dsir_sample_oracle(),
+        "split_leakage": _split_leakage_oracle(),
         "dedup_against": _dedup_against_oracle(),
         # the Bloom pre-filter is exact by construction (anti-join corrects
         # false positives) — same oracle, and the hash match proves it

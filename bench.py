@@ -75,6 +75,7 @@ BENCH_QUERIES = [
     "gopher_rules",
     "dedup_against",
     "dedup_against_bloom",
+    "split_leakage",
 ]
 
 

@@ -298,3 +298,43 @@ def importance_sample(df: DataFrame, n: int, logw_col: str = "logw",
     return (df.withColumn("sample_key", F.col(logw_col) + gumbel(u))
             .orderBy(F.col("sample_key").desc())
             .limit(n))
+
+
+def split_leakage(df: DataFrame, splits: Optional[Dict[str, float]] = None,
+                  text_col: str = "text", id_col: str = "doc_id",
+                  seed: int = 42) -> DataFrame:
+    """Exact-duplicate leakage across a ``hash_split``: one row per
+    normalized fingerprint that lands in 'train' AND in at least one
+    holdout split — (fingerprint, per-split counts, the smallest leaking
+    holdout doc id as an exemplar). Empty result == the split is clean.
+
+    This is the QA closure of the curation chain: exact dedup keeps one
+    doc per fingerprint, the split then separates fingerprints — but a
+    pipeline that splits WITHOUT deduplicating first (or dedups by a
+    different key) silently evaluates on training data. Run this after
+    any re-keying of the dedup or split stages.
+
+    Scale shape: fingerprint + split label are both row-local in the scan
+    (md5 expressions — no join against the split assignment); ONE
+    map-side-combined groupBy on the fingerprint (uniform 32-byte md5
+    key, skew-free) carries conditional counters per split; the leak
+    filter is on the aggregated row. Nothing else touches the corpus."""
+    from .text import fingerprint
+
+    split_names = list((splits or {"train": 0.9, "val": 0.05,
+                                   "test": 0.05}).keys())
+    labeled = hash_split(df, splits, id_col=id_col, seed=seed)
+    holdout = F.col("split") != split_names[0]
+    agg = (labeled
+           .select(fingerprint(F.col(text_col)).alias("fingerprint"),
+                   F.col("split"), F.col(id_col))
+           .where(F.col("fingerprint").isNotNull())
+           .groupBy("fingerprint")
+           .agg(*[F.sum(F.when(F.col("split") == s, 1).otherwise(0))
+                  .alias(f"n_{s}") for s in split_names],
+                F.min(F.when(holdout, F.col(id_col)))
+                .alias("leaked_doc_id")))
+    train_n = F.col(f"n_{split_names[0]}")
+    holdout_n = sum((F.col(f"n_{s}") for s in split_names[1:]),
+                    F.lit(0))
+    return agg.where((train_n > 0) & (holdout_n > 0))

@@ -192,3 +192,45 @@ class TestImportanceSample:
 
         with pytest.raises(ValueError):
             importance_sample(self._weights(spark), n=0)
+
+
+class TestSplitLeakage:
+    def test_planted_leak_found(self, spark):
+        from json_schema_spark.pipeline.sampling import (hash_split,
+                                                         split_leakage)
+
+        # 200 unique docs + ONE duplicated text whose twin id is chosen
+        # (via the split assignment itself) to land in a holdout split
+        # while the source sits in train — a guaranteed planted leak
+        base = [(i, f"unique document body {i}") for i in range(200)]
+        labeled = {r.doc_id: r.split
+                   for r in hash_split(spark.createDataFrame(
+                       [(i, "x") for i in range(500)],
+                       "doc_id bigint, text string")).collect()}
+        src = next(i for i in range(200) if labeled[i] == "train")
+        twin = next(i for i in range(200, 500) if labeled[i] != "train")
+        rows = base + [(twin, f"unique document body {src}")]
+        df = spark.createDataFrame(rows, "doc_id bigint, text string")
+
+        out = split_leakage(df).collect()
+        # exactly the planted pair leaks (unique bodies can't collide)
+        planted = [r for r in out if r.leaked_doc_id == twin]
+        assert len(planted) == 1
+        assert planted[0].n_train >= 1
+        assert planted[0].n_val + planted[0].n_test >= 1
+
+    def test_clean_split_is_empty(self, spark):
+        from json_schema_spark.pipeline.sampling import split_leakage
+
+        df = spark.createDataFrame(
+            [(i, f"distinct body number {i}") for i in range(100)],
+            "doc_id bigint, text string")
+        assert split_leakage(df).count() == 0
+
+    def test_null_text_ignored(self, spark):
+        from json_schema_spark.pipeline.sampling import split_leakage
+
+        df = spark.createDataFrame(
+            [(0, None), (1, None), (2, "real")],
+            "doc_id bigint, text string")
+        assert split_leakage(df).count() == 0
