@@ -898,6 +898,26 @@ def q_dsir_sample(spark, sf_dir):
     return sampling.importance_sample(w, n=500, seed=17)
 
 
+def q_temperature_mix(spark, sf_dir):
+    """Temperature-scaled source mixing: the uniform 20-source corpus is
+    re-tiered into a skewed web/books/code split (12/6/2 sources), then
+    sampled at tau=0.5 with budget 400 — the sqrt scaling up-samples the
+    small 'code' tier past its natural share AND the no-replacement cap
+    binds on it (target 77 > n=50 at sf0.01), exercising both branches.
+    One eager O(#sources) count pass, broadcast cuts join, row-local md5
+    bucket cut."""
+    from json_schema_spark.pipeline import sampling
+    d = _t(spark, sf_dir, "documents")
+    suffix = F.substring(F.col("source"), 4, 10).cast("int")
+    tier = (F.when(suffix < 12, F.lit("web"))
+            .when(suffix < 18, F.lit("books"))
+            .otherwise(F.lit("code")))
+    tiered = d.select("doc_id", tier.alias("mix_source"))
+    out = sampling.temperature_mix(tiered, budget_docs=400, tau=0.5,
+                                   source_col="mix_source")
+    return out.select("doc_id", "mix_source")
+
+
 def q_split_leakage(spark, sf_dir):
     """Eval-leakage QA: exact-duplicate fingerprints spanning 'train' and
     a holdout split of a hash_split. The corpus is the documents table
@@ -1117,6 +1137,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_weights": q_dsir_weights,
         "dsir_sample": q_dsir_sample,
         "split_leakage": q_split_leakage,
+        "temperature_mix": q_temperature_mix,
         "dedup_against": q_dedup_against,
         "dedup_against_bloom": q_dedup_against_bloom,
         "gopher_rules": q_gopher_rules,
@@ -1707,6 +1728,39 @@ def _dsir_sample_oracle(n: int = 500, seed: int = 17) -> str:
             FROM w
         )
         SELECT * FROM keyed ORDER BY sample_key DESC LIMIT {n}
+    """
+
+
+def _temperature_mix_oracle(budget: int = 400, tau: float = 0.5,
+                            seed: int = 42) -> str:
+    """DuckDB replica of sampling.temperature_mix over the same tiering:
+    per-tier counts, glibc-pow milli-quantized scores (DuckDB pow ==
+    CPython ** bit-for-bit, verified), integer share/target/cut chain
+    with explicit floor division, md5 'mix' bucket cut."""
+    h = _MD5_INT.format(x=f"concat('mix_{seed}_', CAST(doc_id AS VARCHAR))")
+    return f"""
+        WITH tiered AS (
+            SELECT doc_id,
+                   CASE WHEN CAST(substr(source, 4) AS INT) < 12 THEN 'web'
+                        WHEN CAST(substr(source, 4) AS INT) < 18 THEN 'books'
+                        ELSE 'code' END AS mix_source
+            FROM documents
+        ),
+        c AS (SELECT mix_source, count(*) AS n FROM tiered GROUP BY 1),
+        t AS (SELECT mix_source, n,
+                     CAST(floor(pow(CAST(n AS DOUBLE), {tau!r}) * 1000
+                                + 0.5) AS BIGINT) AS tq
+              FROM c),
+        tot AS (SELECT CAST(sum(tq) AS BIGINT) AS total FROM t),
+        cuts AS (
+            SELECT mix_source,
+                   (least(n, ({budget} * tq + total // 2) // total)
+                    * 10000 + n // 2) // n AS cut
+            FROM t CROSS JOIN tot
+        )
+        SELECT d.doc_id, d.mix_source
+        FROM tiered d JOIN cuts USING (mix_source)
+        WHERE {h} % 10000 < cut
     """
 
 
@@ -2472,6 +2526,7 @@ def oracle_sql() -> dict[str, str]:
         "dsir_weights": _dsir_oracle(),
         "dsir_sample": _dsir_sample_oracle(),
         "split_leakage": _split_leakage_oracle(),
+        "temperature_mix": _temperature_mix_oracle(),
         "dedup_against": _dedup_against_oracle(),
         # the Bloom pre-filter is exact by construction (anti-join corrects
         # false positives) — same oracle, and the hash match proves it

