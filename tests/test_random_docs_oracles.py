@@ -33,6 +33,15 @@ DOC_QUERIES = [
     "duplicate_clusters", "contamination", "stratified_sample",
     "packed_sequences", "curated_corpus", "pii_redaction",
     "token_heavy_hitters", "winnow_fingerprints",
+    # round-5 ops (documents-derived). temperature_mix is EXCLUDED: its
+    # oracle re-tiers via CAST(substr(source, 4) AS INT), which DuckDB
+    # hard-errors on for this corpus's non-srcN sources (Spark yields
+    # NULL) — the query contract assumes the sf tables' source domain.
+    "dedup_lines", "dedup_lines_keep_first",
+    "substring_dedup", "substring_dedup_keep_first",
+    "gopher_rules", "classifier_scores", "domain_budget_sample",
+    "dsir_weights", "dsir_sample", "dedup_against", "dedup_against_bloom",
+    "split_leakage",
 ]
 
 _VOCAB = ("table scan filter join agg window sort hash batch vector row "
