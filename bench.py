@@ -385,7 +385,10 @@ def run_queries_cohorted(t_start: float) -> dict:
             if not dirty or time.time() - t_start > BUDGET_S:
                 break
             _wait_for_quiet(parent_probe, ref, max_wait_s=120)
-            records.extend(spawn(dirty))
+            # retries re-cohort too — one giant retry child would rebuild
+            # the shared-JVM debris the cohorts exist to avoid
+            for i in range(0, len(dirty), QUERY_COHORT):
+                records.extend(spawn(dirty[i:i + QUERY_COHORT]))
 
         ref = current_ref()
         queries, contaminated = {}, {}
