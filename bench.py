@@ -253,6 +253,33 @@ class StealProbe:
             self._pool = None
 
 
+QUERY_SLOW = float(os.environ.get("SPARK_GRAFT_QUERY_SLOW", "1.8"))
+QUERY_REF_PATH = os.path.join(_REPO_DIR, "BENCH", "query_ref.json")
+
+
+def _load_query_ref() -> dict:
+    """Persisted best-ever clean-window seconds per query — the second
+    steal detector: bracket probes miss bursts shorter than the query."""
+    try:
+        with open(QUERY_REF_PATH) as fh:
+            return {k: float(v) for k, v in json.load(fh).items()}
+    except (OSError, ValueError, AttributeError):
+        return {}
+
+
+def _save_query_ref(hist: dict, queries: dict) -> None:
+    merged = dict(hist)
+    for name, sec in queries.items():
+        merged[name] = min(sec, merged.get(name, float("inf")))
+    try:
+        os.makedirs(os.path.dirname(QUERY_REF_PATH), exist_ok=True)
+        with open(QUERY_REF_PATH, "w") as fh:
+            json.dump(merged, fh, sort_keys=True)
+            fh.write("\n")
+    except OSError:
+        pass
+
+
 def _load_probe_ref() -> float:
     try:
         with open(PROBE_REF_PATH) as fh:
@@ -377,10 +404,22 @@ def run_queries_cohorted(t_start: float) -> dict:
                               min(parent_probe.samples, default=float("inf")))
             return min(_load_probe_ref(), session_min)
 
+        hist = _load_query_ref()
+
+        def suspect(name: str, seconds: float) -> bool:
+            # bracket probes cannot see a burst that starts AND ends
+            # inside one query (observed: simhash 29 s vs its 4.8 s
+            # history with clean probes on both sides). A clean-probed
+            # time far above the query's own persisted best is an
+            # intra-burst suspect and gets one re-measure shot.
+            h = hist.get(name)
+            return h is not None and seconds > max(QUERY_SLOW * h, h + 1.0)
+
         for _ in range(QUERY_RETRY_PASSES):
             ref = current_ref()
             dirty = [n for n in BENCH_QUERIES
                      if not any(r["name"] == n and _clean(r, ref)
+                                and not suspect(n, r["seconds"])
                                 for r in records)]
             if not dirty or time.time() - t_start > BUDGET_S:
                 break
@@ -396,11 +435,15 @@ def run_queries_cohorted(t_start: float) -> dict:
             mine = [r for r in records if r["name"] == name]
             good = [r["seconds"] for r in mine if _clean(r, ref)]
             if good:
+                # min over clean windows; a still-suspect min (every
+                # retry stayed high) ships anyway — a real regression
+                # must not be filtered as steal
                 queries[name] = min(good)
             else:
                 contaminated[name] = min(r["seconds"] for r in mine)
         _save_probe_ref(ref if ref != float("inf") else min(
             r["probe_before"] for r in records))
+        _save_query_ref(hist, queries)
     finally:
         parent_probe.close()
     return {"queries": queries,
@@ -497,10 +540,23 @@ def scaling_measurement(hi_result: dict = None) -> dict:
         for cpus in (lo_cpus, hi_cpus):
             record(cpus, run_level(cpus))
     parent_probe = StealProbe()
+    hist = _load_query_ref()  # level history rides in the same file
+
+    def level_needs_more(cpus) -> bool:
+        clean = [s for s, c in passes[cpus] if c]
+        if not clean:
+            return True
+        # intra-burst protection (same reasoning as per-query history):
+        # probe-clean passes during a burst shorter than the pass still
+        # read slow; a clean min far above the level's persisted best
+        # means the level never saw a genuinely quiet window
+        h = hist.get(f"__scaling_local[{cpus}]")
+        return h is not None and min(clean) > max(1.5 * h, h + 1.0)
+
     try:
         for cpus in (lo_cpus, hi_cpus):
             extra = 0
-            while not any(c for _, c in passes[cpus]) and extra < 2:
+            while level_needs_more(cpus) and extra < 2:
                 ref = min([_load_probe_ref()]
                           + parent_probe.samples) if parent_probe.samples \
                     else _load_probe_ref()
@@ -509,6 +565,14 @@ def scaling_measurement(hi_result: dict = None) -> dict:
                 extra += 1
     finally:
         parent_probe.close()
+    # persist only CLEAN level minima — a contaminated "best" would make
+    # future stolen windows look normal
+    level_bests = {}
+    for cpus in (lo_cpus, hi_cpus):
+        clean = [s for s, c in passes[cpus] if c]
+        if clean:
+            level_bests[f"__scaling_local[{cpus}]"] = min(clean)
+    _save_query_ref(hist, level_bests)
     for cpus in (lo_cpus, hi_cpus):
         clean = [s for s, c in passes[cpus] if c]
         best = min(clean) if clean else min(s for s, _ in passes[cpus])
