@@ -377,6 +377,15 @@ def q_token_counts(spark, sf_dir):
     return d.select("doc_id", text_ops.token_count(F.col("text")).alias("n_tokens"))
 
 
+def q_token_stats(spark, sf_dir):
+    """Per-language corpus statistics (docs/tokens/chars/bytes totals,
+    UTF-8 bytes-per-token fertility, tokens-per-doc). Exact integer
+    totals + one double division each — engine-exact; one small shuffle
+    on lang."""
+    d = _t(spark, sf_dir, "documents")
+    return text_ops.token_stats(d, group_col="lang")
+
+
 def q_quality_scores(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     q = text_ops.quality_features(d)
@@ -1138,6 +1147,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_sample": q_dsir_sample,
         "split_leakage": q_split_leakage,
         "temperature_mix": q_temperature_mix,
+        "token_stats": q_token_stats,
         "dedup_against": q_dedup_against,
         "dedup_against_bloom": q_dedup_against_bloom,
         "gopher_rules": q_gopher_rules,
@@ -1992,6 +2002,26 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY 1, 2
         """,
         "token_counts": f"SELECT doc_id, len({_TOKENS}) AS n_tokens FROM documents",
+        # exact integer totals; each ratio is ONE double division of two
+        # exact integers (engine- and partitioning-invariant)
+        "token_stats": f"""
+            WITH per AS (
+                SELECT lang, len({_TOKENS}) AS t,
+                       length(regexp_replace(trim(text), '\\s+', '', 'g'))
+                           AS c,
+                       strlen(text) AS b
+                FROM documents
+            )
+            SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(t) AS BIGINT) AS n_tokens,
+                   CAST(sum(c) AS BIGINT) AS n_chars,
+                   CAST(sum(b) AS BIGINT) AS n_bytes,
+                   CAST(CAST(sum(b) AS BIGINT) AS DOUBLE)
+                       / CAST(sum(t) AS BIGINT) AS bytes_per_token,
+                   CAST(CAST(sum(t) AS BIGINT) AS DOUBLE)
+                       / CAST(count(*) AS BIGINT) AS tokens_per_doc
+            FROM per GROUP BY lang
+        """,
         "quality_scores": f"""
             WITH t AS (SELECT doc_id, {_TOKENS} AS l FROM documents)
             SELECT doc_id, len(l) AS n_tokens,

@@ -77,6 +77,7 @@ BENCH_QUERIES = [
     "dedup_against_bloom",
     "split_leakage",
     "temperature_mix",
+    "token_stats",
 ]
 
 

@@ -512,3 +512,34 @@ def gopher_rules(df: DataFrame, text_col: str = "text",
         "reasons": reasons,
         "keep": F.size(reasons) == 0,
     })
+
+
+def token_stats(df: DataFrame, group_col: str = "lang",
+                text_col: str = "text") -> DataFrame:
+    """Per-group corpus statistics for mixture planning and tokenizer
+    fertility analysis: document/token/char/byte totals plus
+    ``bytes_per_token`` (UTF-8 fertility — the signal that flags
+    languages or domains a whitespace-ish tokenizer serves poorly) and
+    ``tokens_per_doc``. Groups with NULL key are kept as their own row
+    (a NULL-lang slice is exactly what this report should surface).
+
+    Determinism: every total is an exact integer aggregate (token count
+    via the tokenizer's own split; char total via the whitespace-stripped
+    length identity — both whole-stage codegen, no HOFs); each ratio is
+    ONE double division of two exact integers — identical in any engine,
+    under any partitioning. One map-side-combined shuffle on the group
+    key (group cardinality = languages/domains, never corpus-sized)."""
+    toks = token_count(F.col(text_col))
+    chars = F.length(F.regexp_replace(F.trim(F.col(text_col)),
+                                      r"\s+", ""))
+    agg = (df.groupBy(F.col(group_col).alias(group_col))
+           .agg(F.count(F.lit(1)).alias("n_docs"),
+                F.sum(toks).alias("n_tokens"),
+                F.sum(chars).alias("n_chars"),
+                F.sum(F.octet_length(F.col(text_col))).alias("n_bytes")))
+    return agg.select(
+        group_col, "n_docs", "n_tokens", "n_chars", "n_bytes",
+        (F.col("n_bytes").cast("double") / F.col("n_tokens"))
+        .alias("bytes_per_token"),
+        (F.col("n_tokens").cast("double") / F.col("n_docs"))
+        .alias("tokens_per_doc"))

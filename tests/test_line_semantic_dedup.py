@@ -343,3 +343,29 @@ class TestDedupAgainst:
         assert 5 <= k <= 9
         with pytest.raises(ValueError):
             dedup.dedup_against(None, None, bloom_fpp=1.5)
+
+
+class TestTokenStats:
+    def test_hand_computed(self, spark):
+        from json_schema_spark.pipeline import text as text_ops
+
+        rows = [(0, "ab cd", "en"),        # 2 toks, 4 chars, 5 bytes
+                (1, "  x  ", "en"),        # 1 tok, 1 char, 5 bytes
+                (2, "über gut", "de"),     # 2 toks, 7 chars, 9 bytes (ü=2)
+                (3, None, "de")]           # counted doc, NULL sums skip
+        df = spark.createDataFrame(rows, "doc_id bigint, text string, lang string")
+        out = {r.lang: r for r in text_ops.token_stats(df).collect()}
+        en, de = out["en"], out["de"]
+        assert (en.n_docs, en.n_tokens, en.n_chars, en.n_bytes) == (2, 3, 5, 10)
+        assert en.bytes_per_token == 10.0 / 3
+        assert en.tokens_per_doc == 1.5
+        assert (de.n_docs, de.n_tokens, de.n_chars, de.n_bytes) == (2, 2, 7, 9)
+        assert de.bytes_per_token == 4.5
+
+    def test_null_group_kept(self, spark):
+        from json_schema_spark.pipeline import text as text_ops
+
+        df = spark.createDataFrame([(0, "a b", None), (1, "c", "en")],
+                                   "doc_id bigint, text string, lang string")
+        out = {r.lang: r.n_tokens for r in text_ops.token_stats(df).collect()}
+        assert out == {None: 2, "en": 1}

@@ -41,7 +41,7 @@ DOC_QUERIES = [
     "substring_dedup", "substring_dedup_keep_first",
     "gopher_rules", "classifier_scores", "domain_budget_sample",
     "dsir_weights", "dsir_sample", "dedup_against", "dedup_against_bloom",
-    "split_leakage",
+    "split_leakage", "token_stats",
 ]
 
 _VOCAB = ("table scan filter join agg window sort hash batch vector row "
