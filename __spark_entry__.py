@@ -953,6 +953,34 @@ def q_prototypicality(spark, sf_dir):
     return similarity.prototypicality(emb, n_centroids=16)
 
 
+def q_bm25_topk(spark, sf_dir):
+    """Okapi BM25 keyword retrieval (text.bm25_topk): top-200 docs for a
+    4-term query. Model state (N, avgdl, per-term df) comes from one
+    map-side-combined aggregate; scoring is row-local codegen feeding
+    TakeOrdered. Score doubles hash-match the oracle bit-for-bit: glibc
+    ln for idf, repr-embedded constants, one shared expression shape, and
+    a fixed left-associated term sum."""
+    d = _t(spark, sf_dir, "documents")
+    return text_ops.bm25_topk(d, _BM25_TERMS, n=200)
+
+
+_BM25_TERMS = ["hash", "join", "spark", "vector"]
+
+
+def q_kmeans_clusters(spark, sf_dir):
+    """Distributed Lloyd k-means (similarity.kmeans): exact-integer
+    centroid updates (cosine to a mean equals cosine to the integer SUM —
+    the 1/count cancels — and the round-half-away integer mean keeps every
+    later dot product bounded at any corpus size), md5-seeded round 0, two
+    update rounds, assignment against the final centroids. The oracle
+    replays every iteration in SQL — same lattice, same `//` rounding,
+    same (ccos desc, cid) tie-break — and hash-matches the labels AND the
+    final cosines."""
+    emb = _t(spark, sf_dir, "embeddings")
+    _cen, assign = similarity.kmeans(emb, k=8, n_iters=2)
+    return assign
+
+
 def q_asof_click_before_purchase(spark, sf_dir):
     """As-of join: each purchase event picks up the most recent click value
     at-or-before its timestamp for the same user (union + running-last
@@ -1143,6 +1171,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "substring_dedup": q_substring_dedup,
         "substring_dedup_keep_first": q_substring_dedup_keep_first,
         "prototypicality": q_prototypicality,
+        "kmeans_clusters": q_kmeans_clusters,
+        "bm25_topk": q_bm25_topk,
         "dsir_weights": q_dsir_weights,
         "dsir_sample": q_dsir_sample,
         "split_leakage": q_split_leakage,
@@ -1859,6 +1889,133 @@ def _prototypicality_oracle(n_centroids: int = 16, seed: int = 42) -> str:
     """
 
 
+def _bm25_oracle(terms: list[str] | None = None, n: int = 200,
+                 k1: float = 1.2, b: float = 0.75) -> str:
+    """DuckDB replica of text.bm25_topk: tf via list_filter over the same
+    \\s+ tokenization (RE2 has no lookarounds — the Spark side's
+    regexp_count lookaround trick counts exactly the same whole-token
+    occurrences), one stats CTE (count / sum-dl / per-term df), then the
+    IDENTICAL score expression shape with the same repr'd constants:
+    avgdl is one division of two exact integers, idf is DuckDB ln == glibc
+    log == CPython math.log, and the term sum is the same left-associated
+    chain — so the double scores hash-match."""
+    terms = [t.lower() for t in (terms or _BM25_TERMS)]
+    k1p1, omb = k1 + 1.0, 1.0 - b
+    tf_cols = ",\n                   ".join(
+        f"len(list_filter(string_split_regex(lower(trim(text)), '\\s+'), "
+        f"x -> x = '{t}')) AS tf{i}" for i, t in enumerate(terms))
+    df_cols = ",\n                   ".join(
+        f"CAST(sum(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df{i}"
+        for i in range(len(terms)))
+    idf_cols = ",\n                   ".join(
+        f"ln(1.0 + ((n - df{i}) + 0.5) / (df{i} + 0.5)) AS idf{i}"
+        for i in range(len(terms)))
+    parts = " + ".join(
+        f"(c.idf{i} * ((CAST(b.tf{i} AS DOUBLE) * CAST({k1p1!r} AS DOUBLE)) "
+        f"/ (CAST(b.tf{i} AS DOUBLE) + CAST({k1!r} AS DOUBLE) "
+        f"* (CAST({omb!r} AS DOUBLE) + CAST({b!r} AS DOUBLE) "
+        f"* CAST(b.dl AS DOUBLE) / c.avgdl))))"
+        for i in range(len(terms)))
+    return f"""
+        WITH base AS (
+            SELECT doc_id,
+                   len(string_split_regex(trim(text), '\\s+')) AS dl,
+                   {tf_cols}
+            FROM documents
+        ),
+        s AS (
+            SELECT count(*) AS n, CAST(sum(dl) AS BIGINT) AS sum_dl,
+                   {df_cols}
+            FROM base
+        ),
+        c AS (
+            SELECT n, CAST(sum_dl AS DOUBLE) / CAST(n AS DOUBLE) AS avgdl,
+                   {idf_cols}
+            FROM s
+        )
+        SELECT doc_id, score FROM (
+            SELECT b.doc_id, {parts} AS score
+            FROM base b CROSS JOIN c
+        ) WHERE score > 0
+        ORDER BY score DESC, doc_id LIMIT {n}
+    """
+
+
+def _kmeans_oracle(k: int = 8, n_iters: int = 2, seed: int = 42) -> str:
+    """DuckDB replay of similarity.kmeans, iteration by iteration: the
+    md5-seeded round-0 sample, then per round an exact-integer coarse
+    scoring pass (same quantization lattice), (ccos desc, cid) argmax,
+    element-wise member sums via zipped unnest, the identical
+    positive-operand ``//`` round-half-away integer mean, and the
+    empty/zero-mean keep-old carry — finishing with the assignment against
+    the final centroids. Everything on the int64 lattice except the one
+    IEEE division per (vector, centroid) score, so labels and cosines
+    hash-match bit-for-bit."""
+    dot = ("CAST(list_sum(list_transform(range(1, len(bb.qv) + 1), "
+           "j -> bb.qv[j] * c.cv[j])) AS DOUBLE) "
+           "/ sqrt(CAST(bb.nrm * c.cn AS DOUBLE))")
+    parts = [f"""
+        WITH b AS (
+            SELECT vec_id,
+                   list_transform(embedding,
+                       x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+            FROM embeddings
+        ),
+        bn AS (
+            SELECT vec_id, qv, list_sum(list_transform(qv, x -> x * x)) AS nrm,
+                   CAST(concat('0x', substr(md5(concat('kmeans_{seed}_',
+                        CAST(vec_id AS VARCHAR))), 1, 15)) AS BIGINT) AS r
+            FROM b
+        ),
+        bb AS (SELECT * FROM bn WHERE nrm IS NOT NULL AND nrm > 0),
+        cen0 AS (
+            SELECT CAST(row_number() OVER (ORDER BY r, vec_id) AS INT) AS cid,
+                   qv AS cv, nrm AS cn
+            FROM (SELECT * FROM bb ORDER BY r, vec_id LIMIT {k})
+        )"""]
+    for i in range(n_iters):
+        parts.append(f""",
+        a{i} AS (
+            SELECT vec_id, cid, qv FROM (
+                SELECT bb.vec_id, c.cid, bb.qv,
+                       row_number() OVER (PARTITION BY bb.vec_id
+                           ORDER BY {dot} DESC, c.cid) AS rk
+                FROM bb CROSS JOIN cen{i} c
+            ) WHERE rk = 1
+        ),
+        g{i} AS (
+            SELECT cid, pos, CAST(sum(v) AS BIGINT) AS s,
+                   CAST(count(*) AS BIGINT) AS cnt
+            FROM (SELECT cid, unnest(range(1, len(qv) + 1)) AS pos,
+                         unnest(qv) AS v
+                  FROM a{i})
+            GROUP BY cid, pos
+        ),
+        n{i} AS (
+            SELECT cid, list(mv ORDER BY pos) AS cv,
+                   CAST(sum(mv * mv) AS BIGINT) AS cn
+            FROM (SELECT cid, pos,
+                         CASE WHEN s >= 0 THEN (2 * s + cnt) // (2 * cnt)
+                              ELSE -((-2 * s + cnt) // (2 * cnt)) END AS mv
+                  FROM g{i})
+            GROUP BY cid
+        ),
+        cen{i + 1} AS (
+            SELECT o.cid, coalesce(n.cv, o.cv) AS cv, coalesce(n.cn, o.cn) AS cn
+            FROM cen{i} o
+            LEFT JOIN (SELECT * FROM n{i} WHERE cn > 0) n USING (cid)
+        )""")
+    parts.append(f"""
+        SELECT vec_id, cid, cosine FROM (
+            SELECT bb.vec_id, c.cid, {dot} AS cosine,
+                   row_number() OVER (PARTITION BY bb.vec_id
+                       ORDER BY {dot} DESC, c.cid) AS rk
+            FROM bb CROSS JOIN cen{n_iters} c
+        ) WHERE rk = 1
+    """)
+    return "".join(parts)
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "validate_verdicts": f"SELECT doc_id, {_VALID_COND} AS is_valid FROM documents",
@@ -2553,6 +2710,8 @@ def oracle_sql() -> dict[str, str]:
         "substring_dedup": _substring_dedup_oracle(keep_first=False),
         "substring_dedup_keep_first": _substring_dedup_oracle(keep_first=True),
         "prototypicality": _prototypicality_oracle(),
+        "kmeans_clusters": _kmeans_oracle(),
+        "bm25_topk": _bm25_oracle(),
         "dsir_weights": _dsir_oracle(),
         "dsir_sample": _dsir_sample_oracle(),
         "split_leakage": _split_leakage_oracle(),

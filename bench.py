@@ -78,6 +78,8 @@ BENCH_QUERIES = [
     "split_leakage",
     "temperature_mix",
     "token_stats",
+    "kmeans_clusters",
+    "bm25_topk",
 ]
 
 

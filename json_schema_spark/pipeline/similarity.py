@@ -666,3 +666,118 @@ def prototypicality(embeddings: DataFrame, n_centroids: int = 16,
     w = Window.partitionBy("cid").orderBy(F.col("proto").desc(),
                                           F.col(id_col))
     return best.withColumn("pr", F.percent_rank().over(w))
+
+
+def _round_div(s: int, c: int) -> int:
+    """Round-half-away-from-zero integer division (c > 0) — exact and
+    engine-portable (the DuckDB oracle repeats the same positive-operand
+    ``//`` arithmetic, so there is no float in the loop at all)."""
+    if s >= 0:
+        return (2 * s + c) // (2 * c)
+    return -((-2 * s + c) // (2 * c))
+
+
+def kmeans(embeddings: DataFrame, k: int = 8, n_iters: int = 2,
+           id_col: str = "vec_id", vec_col: str = "embedding",
+           q: int = 1000, seed: int = 42):
+    """Distributed Lloyd k-means in exact integer arithmetic →
+    ``(centroids, assignments)`` where assignments is
+    ``(id, cid, cosine)`` against the final centroid table.
+
+    The determinism trick: assignment is by max **cosine**, and the cosine
+    to a cluster's *mean* equals the cosine to its integer *sum* vector
+    (the 1/count factor cancels in the normalization) — so the update step
+    never needs float summation. Each round keeps centroids on the integer
+    lattice: element-wise int64 member sums (map-side-combined groupBy —
+    shuffle is ≤ k·dim rows per partition), then a round-half-away integer
+    mean computed driver-side (centroids are O(k·dim) model state and pass
+    through the driver each round in ANY distributed k-means — that is the
+    broadcast, not a collect() smell). Rounding the mean back to ~q-scale
+    magnitudes also bounds every dot product at ANY corpus size
+    (|qv·cv| ≤ dim·(q·maxval)² regardless of cluster cardinality), where
+    carrying raw sums would overflow int64 near 10^12 members.
+
+    Empty clusters and clusters whose rounded mean is the zero vector keep
+    their previous centroid (deterministic; both replicated by the
+    oracle). Zero-norm and NULL-element input vectors are excluded up
+    front (their cosine is undefined). Ragged dims are the caller's
+    problem — k-means over mixed dimensionalities is meaningless.
+
+    Scale shape per round: one broadcast crossJoin scoring pass (O(n·k)
+    Arrow-vectorized exact dots, no shuffle), one map-side-combined
+    groupBy for the sums, one k·dim driver collect. The md5 seeding makes
+    round 0 a deterministic sample, so the whole trajectory — and the
+    final labels — is bit-reproducible across engines: the DuckDB oracle
+    replays every iteration and hash-matches. Swap these centroids into
+    ``semantic_dedup``/``prototypicality``/``ivf_topk`` for trained coarse
+    quantizers (identical plan shape, as their docstrings promise)."""
+    from pyspark.sql import Window
+
+    spark = embeddings.sparkSession
+    base = (_quant_vecs(embeddings, id_col, vec_col, q, "qv", "nrm")
+            .where(F.col("nrm").isNotNull() & (F.col("nrm") > 0))
+            .persist())
+
+    # round-0 centroids: the k corpus vectors with the smallest
+    # md5('kmeans_<seed>_' || id) — TakeOrdered (per-partition top-k),
+    # identical recipe to ivf_assignments
+    sample = (base
+              .withColumn("r", F.conv(F.substring(F.md5(
+                  F.concat(F.lit(f"kmeans_{seed}_"),
+                           F.col(id_col).cast("string"))),
+                  1, 15), 16, 10).cast("bigint"))
+              .orderBy("r", id_col).limit(k))
+    init = (sample
+            .withColumn("cid", F.row_number().over(
+                Window.orderBy("r", id_col)))
+            .select("cid", "qv", "nrm").collect())
+    cen_rows = [(r["cid"], [int(x) for x in r["qv"]], int(r["nrm"]))
+                for r in init]
+
+    pc = _pair_cosine_udf()
+    cen_schema = "cid int, cv array<bigint>, cn bigint"
+
+    def _assign(cen_df):
+        return (base.crossJoin(F.broadcast(cen_df))
+                .withColumn("ccos", pc(F.col("qv"), F.col("cv"),
+                                       F.col("nrm"), F.col("cn"))))
+
+    for _ in range(n_iters):
+        cen_df = spark.createDataFrame(cen_rows, cen_schema)
+        members = (_assign(cen_df)
+                   .groupBy(id_col)
+                   .agg(F.max_by(F.col("cid"),
+                                 F.struct(F.col("ccos"),
+                                          -F.col("cid"))).alias("cid"),
+                        F.first("qv").alias("qv")))
+        # element-wise member sums; cnt rides along per (cid, pos) so one
+        # job/collect carries both — k·dim rows at the driver
+        stats = (members
+                 .select("cid", F.posexplode("qv").alias("pos", "v"))
+                 .groupBy("cid", "pos")
+                 .agg(F.sum("v").alias("s"), F.count("*").alias("cnt"))
+                 .collect())
+        by_cid: dict = {}
+        for row in stats:
+            by_cid.setdefault(row["cid"], {})[row["pos"]] = (
+                int(row["s"]), int(row["cnt"]))
+        nxt = []
+        for cid, cv_old, cn_old in cen_rows:
+            got = by_cid.get(cid)
+            if got:
+                cv = [_round_div(got[p][0], got[p][1])
+                      for p in range(len(cv_old))]
+                cn = sum(x * x for x in cv)
+                if cn > 0:
+                    nxt.append((cid, cv, cn))
+                    continue
+            nxt.append((cid, cv_old, cn_old))   # empty / zero-mean: keep
+        cen_rows = nxt
+
+    final_cen = spark.createDataFrame(cen_rows, cen_schema)
+    out = (_assign(final_cen)
+           .groupBy(id_col)
+           .agg(F.max_by(F.col("cid"),
+                         F.struct(F.col("ccos"), -F.col("cid"))).alias("cid"),
+                F.max("ccos").alias("cosine")))
+    return final_cen, cache.register(out, base)

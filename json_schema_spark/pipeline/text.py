@@ -543,3 +543,72 @@ def token_stats(df: DataFrame, group_col: str = "lang",
         .alias("bytes_per_token"),
         (F.col("n_tokens").cast("double") / F.col("n_docs"))
         .alias("tokens_per_doc"))
+
+
+def bm25_topk(df: DataFrame, query_terms: List[str], n: int = 100,
+              k1: float = 1.2, b: float = 0.75, id_col: str = "doc_id",
+              text_col: str = "text") -> DataFrame:
+    """Okapi BM25 keyword retrieval: top-``n`` documents for a constant
+    term list — the relevance-ranking primitive behind corpus search and
+    retrieval-based data selection.
+
+    Two corpus passes, both fully whole-stage-codegen: (1) one
+    map-side-combined aggregate collects the O(1) model state — doc count,
+    total doc length, per-term document frequencies (term frequencies come
+    from the zero-width-lookaround ``regexp_count`` trick, so no token
+    array is ever built); (2) a row-local rescoring pass feeding an
+    ``orderBy().limit()`` that plans as TakeOrdered (per-partition top-n,
+    tiny driver merge — never a global sort). At 100 TB prefer the two
+    pruned parquet scans over persisting a corpus-sized annotated frame.
+
+    Cross-engine float exactness (the DuckDB oracle hash-matches scores):
+    idf uses CPython ``math.log`` — bit-identical to DuckDB ``ln`` (both
+    glibc; numpy's SIMD log is NOT) — over exact-integer (N, df); every
+    derived constant is embedded via ``repr`` so both engines fold the
+    same doubles; the per-term score keeps ONE expression shape
+    (``idf * ((tf * k1p1) / (tf + k1 * (omb + b * dl / avgdl)))``, no
+    algebraic redistribution — IEEE ``*``/``/`` don't associate); and the
+    term sum is a fixed left-associated chain in term-list order, never a
+    float aggregate. Docs matching no term (or NULL text) score 0/NULL
+    and are filtered."""
+    import math
+    import re
+
+    if not query_terms:
+        raise ValueError("bm25_topk: query_terms must be non-empty")
+    terms = [t.lower() for t in query_terms]
+    c = F.col(text_col)
+    low = F.lower(F.trim(c))
+
+    def tf_col(term):
+        pat = "(?<=^|\\s)" + re.escape(term) + "(?=\\s|$)"
+        return F.regexp_count(low, F.lit(pat))
+
+    dl = token_count(c)
+    stats = (df.agg(F.count(F.lit(1)).alias("n"),
+                    F.sum(dl).alias("sum_dl"),
+                    *[F.sum((tf_col(t) > 0).cast("bigint")).alias(f"df{i}")
+                      for i, t in enumerate(terms)])
+             .collect()[0])
+    n_docs, sum_dl = int(stats["n"]), int(stats["sum_dl"] or 0)
+    if n_docs == 0:
+        return (df.select(F.col(id_col), F.lit(0.0).alias("score"))
+                .where(F.lit(False)))
+    avgdl = sum_dl / n_docs
+    k1p1, omb = k1 + 1.0, 1.0 - b
+
+    score = None
+    for i, t in enumerate(terms):
+        dft = int(stats[f"df{i}"])
+        idf = math.log(1.0 + ((n_docs - dft) + 0.5) / (dft + 0.5))
+        tf = tf_col(t).cast("double")
+        part = (F.lit(idf)
+                * ((tf * F.lit(k1p1))
+                   / (tf + F.lit(k1)
+                      * (F.lit(omb)
+                         + F.lit(b) * dl.cast("double") / F.lit(avgdl)))))
+        score = part if score is None else score + part
+    return (df.select(F.col(id_col), score.alias("score"))
+            .where(F.col("score") > 0)
+            .orderBy(F.col("score").desc(), F.col(id_col))
+            .limit(n))

@@ -248,3 +248,29 @@ def test_temperature_mix_broadcasts_cuts(spark):
     plan = _plan(sampling.temperature_mix(docs, budget_docs=100, tau=0.5))
     assert "BroadcastHashJoin" in plan, plan
     assert "Exchange hashpartitioning" not in plan, plan
+
+
+def test_bm25_is_takeordered_pruned_and_python_free(spark):
+    """BM25 rescoring must stay row-local codegen (lookaround regexp_count,
+    no token arrays, no Python), read only (id, text), and rank via
+    TakeOrdered — never a global sort over the corpus."""
+    from json_schema_spark.pipeline import text
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = _plan(text.bm25_topk(docs, ["hash", "join"], n=50))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Sort " not in plan, plan
+    assert "Python" not in plan and "ArrowEval" not in plan, plan
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan, plan
+
+
+def test_kmeans_assignment_broadcasts_centroids(spark):
+    """The k-means scoring pass is a broadcast crossJoin against the O(k·dim)
+    centroid table — the corpus side must see no shuffle for assignment."""
+    from json_schema_spark.pipeline import similarity
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    cen, assign = similarity.kmeans(emb, k=4, n_iters=1)
+    plan = _plan(assign)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan
+    assert "Exchange rangepartitioning" not in plan, plan
