@@ -981,6 +981,19 @@ def q_kmeans_clusters(spark, sf_dir):
     return assign
 
 
+def q_pq_topk(spark, sf_dir):
+    """Product-quantization ANN (similarity.pq_topk): codebooks trained on
+    a 60% md5 hash sample (the standard train-on-a-sample, encode-
+    everything shape), the full corpus encoded to m=4 codes, ADC top-10
+    for 8 md5-chosen queries via exact-integer lookup-table gathers and a
+    sharded two-phase window. The oracle replays the entire pipeline —
+    sample, per-subspace integer-L2 Lloyd round, argmin codes, tables —
+    and the score doubles hash-match (one IEEE division at the end)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.pq_topk(emb, k=10, n_queries=8, m=4, k_sub=16,
+                              n_iters=1, train_fraction=0.6)
+
+
 def q_asof_click_before_purchase(spark, sf_dir):
     """As-of join: each purchase event picks up the most recent click value
     at-or-before its timestamp for the same user (union + running-last
@@ -1173,6 +1186,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "prototypicality": q_prototypicality,
         "kmeans_clusters": q_kmeans_clusters,
         "bm25_topk": q_bm25_topk,
+        "pq_topk": q_pq_topk,
         "dsir_weights": q_dsir_weights,
         "dsir_sample": q_dsir_sample,
         "split_leakage": q_split_leakage,
@@ -2016,6 +2030,145 @@ def _kmeans_oracle(k: int = 8, n_iters: int = 2, seed: int = 42) -> str:
     return "".join(parts)
 
 
+def _pq_oracle(k: int = 10, n_queries: int = 8, m: int = 4,
+               k_sub: int = 16, n_iters: int = 1,
+               train_fraction: float = 0.6, dim: int = 64,
+               seed: int = 42) -> str:
+    """DuckDB replay of similarity.pq_topk, stage by stage: the same
+    quantization lattice, the md5 'pqtrain' hash sample, the md5-seeded
+    codebook init, per-subspace Lloyd rounds on integer L2 (cn − 2·dot
+    argmin with the (dist, code) tie-break numpy's first-occurrence argmin
+    implements), the identical ``//`` round-half-away means with
+    empty/zero-mean keep-old carry, argmin encoding of the FULL corpus,
+    exact-integer ADC tables, and the one IEEE division per (query, code
+    row). ``dim`` is the embeddings table's declared width (the Spark side
+    infers it; PQ requires it uniform anyway)."""
+    subdim = dim // m
+    cut = int(round(train_fraction * 10_000))
+
+    def md5i(tag):
+        return (f"CAST(concat('0x', substr(md5(concat('{tag}_{seed}_', "
+                f"CAST(vec_id AS VARCHAR))), 1, 15)) AS BIGINT)")
+
+    def lo(s):
+        return s * subdim + 1
+
+    def slice_sq(col, s):
+        return (f"list_transform(range({lo(s)}, {lo(s) + subdim}), "
+                f"j -> {col}[j])")
+
+    parts = [f"""
+        WITH b AS (
+            SELECT vec_id,
+                   list_transform(embedding,
+                       x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+            FROM embeddings
+        ),
+        bn AS (
+            SELECT vec_id, qv,
+                   CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS nrm
+            FROM b
+        ),
+        bb AS (SELECT * FROM bn WHERE nrm IS NOT NULL AND nrm > 0),
+        tr AS (
+            SELECT * FROM bb
+            WHERE ({md5i('pqtrain')} % 10000) < {cut}
+        ),
+        ini AS (
+            SELECT qv, CAST(row_number() OVER (ORDER BY r, vec_id) AS INT) - 1 AS cid
+            FROM (SELECT vec_id, qv, {md5i('pq')} AS r
+                  FROM tr ORDER BY r, vec_id LIMIT {k_sub})
+        )"""]
+    for s in range(m):
+        parts.append(f""",
+        cen{s}_0 AS (
+            SELECT cid, {slice_sq('qv', s)} AS cv,
+                   CAST(list_sum(list_transform(range({lo(s)}, {lo(s) + subdim}),
+                        j -> qv[j] * qv[j])) AS BIGINT) AS cn
+            FROM ini
+        )""")
+    for i in range(n_iters):
+        for s in range(m):
+            dot = (f"CAST(list_sum(list_transform(range(1, {subdim} + 1), "
+                   f"j -> t.qv[{lo(s) - 1} + j] * c.cv[j])) AS BIGINT)")
+            parts.append(f""",
+        a{i}_{s} AS (
+            SELECT vec_id, cid FROM (
+                SELECT t.vec_id, c.cid,
+                       row_number() OVER (PARTITION BY t.vec_id
+                           ORDER BY c.cn - 2 * {dot} ASC, c.cid) AS rk
+                FROM tr t CROSS JOIN cen{s}_{i} c
+            ) WHERE rk = 1
+        ),
+        g{i}_{s} AS (
+            SELECT cid, p, CAST(sum(v) AS BIGINT) AS sv,
+                   CAST(count(*) AS BIGINT) AS cnt
+            FROM (SELECT a.cid, unnest(range(1, {subdim} + 1)) AS p,
+                         unnest({slice_sq('t.qv', s)}) AS v
+                  FROM a{i}_{s} a JOIN tr t USING (vec_id))
+            GROUP BY cid, p
+        ),
+        n{i}_{s} AS (
+            SELECT cid, list(mv ORDER BY p) AS cv,
+                   CAST(sum(mv * mv) AS BIGINT) AS cn
+            FROM (SELECT cid, p,
+                         CASE WHEN sv >= 0 THEN (2 * sv + cnt) // (2 * cnt)
+                              ELSE -((-2 * sv + cnt) // (2 * cnt)) END AS mv
+                  FROM g{i}_{s})
+            GROUP BY cid
+        ),
+        cen{s}_{i + 1} AS (
+            SELECT o.cid, coalesce(n.cv, o.cv) AS cv, coalesce(n.cn, o.cn) AS cn
+            FROM cen{s}_{i} o
+            LEFT JOIN (SELECT * FROM n{i}_{s} WHERE cn > 0) n USING (cid)
+        )""")
+    for s in range(m):
+        dot = (f"CAST(list_sum(list_transform(range(1, {subdim} + 1), "
+               f"j -> x.qv[{lo(s) - 1} + j] * c.cv[j])) AS BIGINT)")
+        parts.append(f""",
+        code_{s} AS (
+            SELECT vec_id, cv AS v{s}, cn AS n{s} FROM (
+                SELECT x.vec_id, c.cv, c.cn,
+                       row_number() OVER (PARTITION BY x.vec_id
+                           ORDER BY c.cn - 2 * {dot} ASC, c.cid) AS rk
+                FROM bb x CROSS JOIN cen{s}_{n_iters} c
+            ) WHERE rk = 1
+        )""")
+    cx_cols = ", ".join(f"c{s}.v{s}, c{s}.n{s}" for s in range(m))
+    cx_joins = " ".join(f"JOIN code_{s} c{s} USING (vec_id)"
+                        for s in range(1, m))
+    ad = " + ".join(
+        f"CAST(list_sum(list_transform(range(1, {subdim} + 1), "
+        f"j -> q.qv[{lo(s) - 1} + j] * x.v{s}[j])) AS BIGINT)"
+        for s in range(m))
+    an = " + ".join(f"x.n{s}" for s in range(m))
+    score = "CAST(ad AS DOUBLE) / sqrt(CAST(qn * an AS DOUBLE))"
+    parts.append(f""",
+        qs AS (
+            SELECT vec_id AS query_id, qv, nrm AS qn
+            FROM (SELECT vec_id, qv, nrm, {md5i('pqq')} AS r
+                  FROM bb ORDER BY r, vec_id LIMIT {n_queries})
+        ),
+        cx AS (
+            SELECT c0.vec_id, {cx_cols}
+            FROM code_0 c0 {cx_joins}
+        ),
+        sc AS (
+            SELECT q.query_id, x.vec_id AS neighbor_id, q.qn,
+                   ({ad}) AS ad, ({an}) AS an
+            FROM qs q CROSS JOIN cx x
+            WHERE x.vec_id <> q.query_id
+        )
+        SELECT query_id, neighbor_id, rank, score FROM (
+            SELECT query_id, neighbor_id, {score} AS score,
+                   row_number() OVER (PARTITION BY query_id
+                       ORDER BY {score} DESC, neighbor_id) AS rank
+            FROM sc WHERE an > 0
+        ) WHERE rank <= {k}
+    """)
+    return "".join(parts)
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "validate_verdicts": f"SELECT doc_id, {_VALID_COND} AS is_valid FROM documents",
@@ -2712,6 +2865,7 @@ def oracle_sql() -> dict[str, str]:
         "prototypicality": _prototypicality_oracle(),
         "kmeans_clusters": _kmeans_oracle(),
         "bm25_topk": _bm25_oracle(),
+        "pq_topk": _pq_oracle(),
         "dsir_weights": _dsir_oracle(),
         "dsir_sample": _dsir_sample_oracle(),
         "split_leakage": _split_leakage_oracle(),

@@ -80,6 +80,7 @@ BENCH_QUERIES = [
     "token_stats",
     "kmeans_clusters",
     "bm25_topk",
+    "pq_topk",
 ]
 
 

@@ -781,3 +781,252 @@ def kmeans(embeddings: DataFrame, k: int = 8, n_iters: int = 2,
                          F.struct(F.col("ccos"), -F.col("cid"))).alias("cid"),
                 F.max("ccos").alias("cosine")))
     return final_cen, cache.register(out, base)
+
+
+def _pq_encode_udf(codebooks, subdim: int):
+    """Arrow-vectorized PQ encoder: per batch, one int64 matmul per
+    subspace against the (k, subdim) codebook, argmin of the exact integer
+    L2 key (cn − 2·dot; the row's own norm is constant under the argmin).
+    np.argmin's first-occurrence rule IS the (distance asc, code asc)
+    tie-break the oracle replays. Codebooks ride in the closure — O(m·k·
+    subdim) ints, broadcast once with the task binary."""
+    import numpy as np
+    import pandas as pd
+
+    cbs = [np.asarray([cv for cv, _ in cb], dtype=np.int64)
+           for cb in codebooks]
+    cns = [np.asarray([cn for _, cn in cb], dtype=np.int64)
+           for cb in codebooks]
+    m = len(cbs)
+
+    @F.pandas_udf("array<int>")
+    def enc(qv):
+        vals = qv.tolist()
+        n = len(vals)
+        out = [None] * n
+        idx = [i for i, v in enumerate(vals) if v is not None]
+        if idx:
+            lens = {len(vals[i]) for i in idx}
+            if len(lens) > 1:
+                raise ValueError(
+                    f"pq encode: ragged vector dims {sorted(lens)} — PQ "
+                    "requires one dimensionality")
+            x = np.asarray([vals[i] for i in idx], dtype=np.int64)
+            codes = np.empty((len(idx), m), dtype=np.int64)
+            for s in range(m):
+                sub = x[:, s * subdim:(s + 1) * subdim]
+                key = cns[s][None, :] - 2 * (sub @ cbs[s].T)
+                codes[:, s] = np.argmin(key, axis=1)
+            cl = codes.tolist()
+            for j, i in enumerate(idx):
+                out[i] = cl[j]
+        return pd.Series(out, dtype=object)
+
+    return enc
+
+
+def pq_train_encode(embeddings: DataFrame, m: int = 4, k_sub: int = 16,
+                    n_iters: int = 1, train_fraction: float = 1.0,
+                    id_col: str = "vec_id", vec_col: str = "embedding",
+                    q: int = 1000, seed: int = 42):
+    """Product-quantization codebooks + codes → ``(codebooks, codes_df,
+    base)``. ``codebooks[s]`` is a list of (centroid ints, squared norm)
+    per subspace; ``codes_df`` is (id, codes array<int>) over every
+    usable corpus vector; ``base`` is the persisted quantized frame the
+    caller must release.
+
+    This is the memory story for 100-TB embedding search: a dim-64 float
+    vector (256 B) compresses to m small codes (m bytes at k≤256) plus one
+    shared m·k·subdim codebook — the scan that ADC-scores the whole corpus
+    reads ~64× less than a flat index, which is the difference between a
+    disk-bound and a memory-resident sweep at 10^11 vectors.
+
+    Training is per-subspace Lloyd k-means with EXACT integer arithmetic
+    end-to-end: assignment by integer L2 on the quantized lattice (no
+    float appears anywhere in training), member sums via one
+    map-side-combined groupBy per round (all m subspaces in the same
+    job — rows explode once, subspace = pos / subdim), round-half-away
+    integer means driver-side (O(m·k·subdim) model state). Codebooks can
+    be trained on a deterministic md5 hash sample (``train_fraction``,
+    'pqtrain' domain — independent of the sampling/split domains) and
+    still encode the full corpus, the standard shape at scale. Empty
+    clusters and zero rounded means keep the previous centroid, exactly
+    as ``kmeans`` does; the md5-seeded init makes the whole trajectory
+    bit-replayable by the DuckDB oracle."""
+    base = (_quant_vecs(embeddings, id_col, vec_col, q, "qv", "nrm")
+            .where(F.col("nrm").isNotNull() & (F.col("nrm") > 0))
+            .persist())
+
+    train = base
+    if train_fraction < 1.0:
+        from . import sampling
+        cut = int(round(train_fraction * 10_000))
+        train = base.where(
+            sampling.hash_bucket(F.col(id_col), seed, "pqtrain") < cut)
+
+    from .dedup import md5_int
+    init = (train
+            .withColumn("r", md5_int(F.concat(
+                F.lit(f"pq_{seed}_"), F.col(id_col).cast("string"))))
+            .orderBy("r", id_col).limit(k_sub)
+            .select("qv").collect())
+    if not init:
+        raise ValueError("pq_train_encode: no usable training vectors")
+    dim = len(init[0]["qv"])
+    if dim % m:
+        raise ValueError(f"pq_train_encode: dim {dim} not divisible by m={m}")
+    subdim = dim // m
+
+    codebooks = []
+    for s in range(m):
+        cb = []
+        for row in init:
+            cv = [int(x) for x in row["qv"][s * subdim:(s + 1) * subdim]]
+            cb.append((cv, sum(x * x for x in cv)))
+        codebooks.append(cb)
+
+    for _ in range(n_iters):
+        enc = _pq_encode_udf(codebooks, subdim)
+        stats = (train
+                 .select(enc(F.col("qv")).alias("codes"),
+                         F.posexplode("qv").alias("pos", "v"))
+                 .select((F.col("pos") / subdim).cast("int").alias("s"),
+                         F.element_at("codes", (F.col("pos") / subdim)
+                                      .cast("int") + 1).alias("code"),
+                         F.pmod("pos", F.lit(subdim)).alias("p"),
+                         "v")
+                 .groupBy("s", "code", "p")
+                 .agg(F.sum("v").alias("sv"), F.count("*").alias("cnt"))
+                 .collect())
+        by: dict = {}
+        for r in stats:
+            by.setdefault((int(r["s"]), int(r["code"])), {})[int(r["p"])] = (
+                int(r["sv"]), int(r["cnt"]))
+        nxt = []
+        for s in range(m):
+            cb = []
+            for code, (cv_old, cn_old) in enumerate(codebooks[s]):
+                got = by.get((s, code))
+                if got:
+                    cv = [_round_div(got[p][0], got[p][1])
+                          for p in range(subdim)]
+                    cn = sum(x * x for x in cv)
+                    if cn > 0:
+                        cb.append((cv, cn))
+                        continue
+                cb.append((cv_old, cn_old))   # empty / zero-mean: keep
+            nxt.append(cb)
+        codebooks = nxt
+
+    enc = _pq_encode_udf(codebooks, subdim)
+    codes_df = base.select(F.col(id_col), enc(F.col("qv")).alias("codes"))
+    return codebooks, codes_df, base
+
+
+def _pq_adc_udf(tabs, ntab):
+    """Arrow-vectorized asymmetric-distance gather: given a batch of code
+    rows and per-row query indices, sum the m exact-integer table entries
+    (query-subvector · selected-centroid dots) and the m centroid squared
+    norms. Tables are O(n_queries·m·k) ints in the closure — the whole
+    'index' a scoring task needs."""
+    import numpy as np
+    import pandas as pd
+
+    t = np.asarray(tabs, dtype=np.int64)     # (nq, m, k)
+    nt = np.asarray(ntab, dtype=np.int64)    # (m, k)
+    m = t.shape[1]
+
+    @F.pandas_udf("struct<ad: bigint, an: bigint>")
+    def adc(codes, qidx):
+        c = np.asarray(codes.tolist(), dtype=np.int64)      # (B, m)
+        qi = np.asarray(qidx.tolist(), dtype=np.int64)      # (B,)
+        if not len(c):
+            return pd.DataFrame({"ad": [], "an": []})
+        rng = np.arange(m)[None, :]
+        ad = t[qi[:, None], rng, c].sum(axis=1)
+        an = nt[rng, c].sum(axis=1)
+        return pd.DataFrame({"ad": ad, "an": an})
+
+    return adc
+
+
+def pq_topk(embeddings: DataFrame, k: int = 10, n_queries: int = 8,
+            m: int = 4, k_sub: int = 16, n_iters: int = 1,
+            train_fraction: float = 1.0, id_col: str = "vec_id",
+            vec_col: str = "embedding", q: int = 1000, seed: int = 42,
+            shards: Optional[int] = None) -> DataFrame:
+    """Product-quantization ANN: ADC (asymmetric distance computation)
+    top-k → (query_id, neighbor_id, rank, score). Queries are the
+    ``n_queries`` corpus vectors with the smallest md5 in the 'pqq'
+    domain; score is the PQ-approximate cosine — the query's exact
+    quantized subvectors dotted against each neighbor's SELECTED centroids
+    (never the neighbor's raw vector: that is the asymmetry that makes the
+    scan read only codes).
+
+    Scale shape: after ``pq_train_encode``, the corpus-facing work is ONE
+    scan over (id, m codes) — ~64× smaller than the embeddings — with a
+    broadcast of (query_id, qidx, qn) and an O(n_queries·m·k)-int closure
+    of lookup tables; per row the score is m table gathers and one IEEE
+    division. Top-k is two-phase: per-(query, xxhash shard) row_number
+    keeps ≤ k·shards rows, then a global per-query window ranks that tiny
+    set — no single task ever sees more than its shard (the naive
+    per-query window would serialize the whole corpus into n_queries
+    tasks). Exactly equivalent to the single window because every global
+    top-k row is a fortiori in its shard's top-k.
+
+    Everything before the one division is exact integer (training,
+    encoding, tables, gathers), so the DuckDB oracle replays the full
+    pipeline — sample, per-subspace Lloyd rounds, argmin codes, tables,
+    ranks — and hash-matches. Rows whose reconstruction is the zero
+    vector (an = 0, cosine undefined) are excluded on both sides."""
+    from pyspark.sql import Window
+
+    from .dedup import md5_int
+
+    spark = embeddings.sparkSession
+    codebooks, codes_df, base = pq_train_encode(
+        embeddings, m, k_sub, n_iters, train_fraction,
+        id_col, vec_col, q, seed)
+    subdim = len(codebooks[0][0][0])
+
+    qrows = (base
+             .withColumn("r", md5_int(F.concat(
+                 F.lit(f"pqq_{seed}_"), F.col(id_col).cast("string"))))
+             .orderBy("r", id_col).limit(n_queries)
+             .select(id_col, "qv", "nrm").collect())
+
+    tabs = []
+    for row in qrows:
+        qv = [int(x) for x in row["qv"]]
+        tabs.append([[sum(qv[s * subdim + j] * cv[j] for j in range(subdim))
+                      for cv, _ in codebooks[s]] for s in range(m)])
+    ntab = [[cn for _, cn in codebooks[s]] for s in range(m)]
+
+    qdf = spark.createDataFrame(
+        [(row[id_col], i, int(row["nrm"])) for i, row in enumerate(qrows)],
+        "query_id bigint, qidx int, qn bigint")
+    adc = _pq_adc_udf(tabs, ntab)
+    scored = (codes_df
+              .crossJoin(F.broadcast(qdf))
+              .where(F.col(id_col) != F.col("query_id"))
+              .withColumn("t", adc(F.col("codes"), F.col("qidx")))
+              .where(F.col("t.an") > 0)
+              .withColumn("score", F.col("t.ad").cast("double")
+                          / F.sqrt((F.col("qn") * F.col("t.an"))
+                                   .cast("double"))))
+
+    n_shards = shards or spark.sparkContext.defaultParallelism
+    w1 = Window.partitionBy("query_id", "shard").orderBy(
+        F.col("score").desc(), id_col)
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), id_col)
+    out = (scored
+           .withColumn("shard", F.pmod(F.xxhash64(F.col(id_col)),
+                                       F.lit(n_shards)))
+           .withColumn("r1", F.row_number().over(w1))
+           .where(F.col("r1") <= k)
+           .withColumn("rank", F.row_number().over(w2))
+           .where(F.col("rank") <= k)
+           .select("query_id", F.col(id_col).alias("neighbor_id"),
+                   "rank", "score"))
+    return cache.register(out, base)

@@ -274,3 +274,16 @@ def test_kmeans_assignment_broadcasts_centroids(spark):
     plan = _plan(assign)
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan
     assert "Exchange rangepartitioning" not in plan, plan
+
+
+def test_pq_topk_broadcasts_queries_no_global_sort(spark):
+    """PQ ADC scoring must broadcast the tiny (query_id, qidx, qn) frame
+    against the codes scan and rank via hash-partitioned two-phase windows
+    — never a range partition (global sort) of the scored corpus."""
+    from json_schema_spark.pipeline import similarity
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    plan = _plan(similarity.pq_topk(emb, k=3, n_queries=2, m=4, k_sub=4,
+                                    n_iters=1))
+    assert "BroadcastExchange" in plan, plan
+    assert "Exchange rangepartitioning" not in plan, plan
