@@ -994,6 +994,25 @@ def q_pq_topk(spark, sf_dir):
                               n_iters=1, train_fraction=0.6)
 
 
+def q_bpe_merges(spark, sf_dir):
+    """BPE tokenizer training (text.bpe_train): 12 merge rules learned
+    from the documents corpus — one corpus-scale word-frequency shuffle,
+    then vocab-sized rounds (weighted pair-count argmax + greedy
+    left-to-right Arrow merge pass). The oracle replays every round with
+    a list_reduce fold and hash-matches ranks, pairs, and counts."""
+    d = _t(spark, sf_dir, "documents")
+    return text_ops.bpe_train(d, n_merges=12)
+
+
+def q_bpe_token_stats(spark, sf_dir):
+    """Corpus-trained BPE applied back to the corpus
+    (text.bpe_encode_stats): per-doc BPE token + char counts via a
+    broadcast vocab join — the corpus pass never runs Python. The oracle
+    replays the merge rounds and the per-doc sums hash-match."""
+    d = _t(spark, sf_dir, "documents")
+    return text_ops.bpe_encode_stats(d, n_merges=12)
+
+
 def q_asof_click_before_purchase(spark, sf_dir):
     """As-of join: each purchase event picks up the most recent click value
     at-or-before its timestamp for the same user (union + running-last
@@ -1187,6 +1206,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_clusters": q_kmeans_clusters,
         "bm25_topk": q_bm25_topk,
         "pq_topk": q_pq_topk,
+        "bpe_merges": q_bpe_merges,
+        "bpe_token_stats": q_bpe_token_stats,
         "dsir_weights": q_dsir_weights,
         "dsir_sample": q_dsir_sample,
         "split_leakage": q_split_leakage,
@@ -2169,6 +2190,87 @@ def _pq_oracle(k: int = 10, n_queries: int = 8, m: int = 4,
     return "".join(parts)
 
 
+def _bpe_rounds(n_merges: int = 12):
+    """Shared CTE chain replaying text.bpe_train round by round: the same
+    word-frequency table (regex split, printable-ASCII filter, per-char
+    init — ASCII makes Spark's UTF-16 substring and DuckDB's codepoint
+    indexing agree), per round a frequency-weighted adjacent-pair count,
+    the (cnt desc, lhs, rhs) argmax, and a list_reduce fold applying the
+    winning merge with the exact greedy left-to-right semantics of the
+    Spark Arrow pass (chr(31)-delimited accumulator; the ASCII filter
+    guarantees the delimiter never occurs in a token). Rounds past
+    exhaustion yield empty argmax CTEs and contribute no rows — matching
+    the Spark side's early break. Round CTEs are MATERIALIZED: DuckDB
+    inlines CTEs by default and each round references its predecessor
+    twice, so the un-hinted plan doubles per round (2^n blowup).
+    Returns (with_clause, per-round argmax SELECTs)."""
+    rounds = []
+    finals = []
+    for i in range(1, n_merges + 1):
+        rounds.append(f""",
+        p{i} AS (
+            SELECT st[j] AS lhs, st[j + 1] AS rhs,
+                   CAST(sum(n) AS BIGINT) AS cnt
+            FROM (SELECT n, st, unnest(range(1, len(st))) AS j
+                  FROM w{i - 1} WHERE len(st) >= 2)
+            GROUP BY st[j], st[j + 1]
+        ),
+        t{i} AS MATERIALIZED (SELECT lhs, rhs, cnt FROM p{i}
+                 ORDER BY cnt DESC, lhs, rhs LIMIT 1),
+        w{i} AS MATERIALIZED (
+            SELECT word, n,
+                   string_split(list_reduce(list_prepend('', st),
+                       (acc, tk) -> CASE
+                           WHEN tk = t.rhs AND ends_with(acc, chr(31) || t.lhs)
+                           THEN left(acc, len(acc) - len(t.lhs)) || t.lhs || t.rhs
+                           ELSE acc || chr(31) || tk END),
+                       chr(31))[2:] AS st
+            FROM w{i - 1} CROSS JOIN t{i} t
+        )""")
+        finals.append(f"SELECT CAST({i} AS INT) AS merge_rank, lhs, rhs, "
+                      f"cnt AS pair_count FROM t{i}")
+    with_clause = f"""
+        WITH w0 AS MATERIALIZED (
+            SELECT word, CAST(count(*) AS BIGINT) AS n,
+                   list_transform(range(1, len(word) + 1), j -> word[j]) AS st
+            FROM (SELECT unnest(string_split_regex(lower(trim(text)),
+                       '\\s+')) AS word FROM documents)
+            WHERE regexp_matches(word, '^[!-~]+$')
+            GROUP BY word
+        ){"".join(rounds)}"""
+    return with_clause, finals
+
+
+def _bpe_oracle(n_merges: int = 12) -> str:
+    """DuckDB replay of text.bpe_train (see _bpe_rounds): the merge table
+    is the union of each round's argmax row."""
+    with_clause, finals = _bpe_rounds(n_merges)
+    return f"""{with_clause}
+        {" UNION ALL ".join(finals)}
+    """
+
+
+def _bpe_encode_oracle(n_merges: int = 12) -> str:
+    """DuckDB replica of text.bpe_encode_stats: the SAME materialized
+    merge-round chain as _bpe_oracle, then the per-document word list
+    (duplicates KEPT — each occurrence pays its token count, unlike the
+    distinct-vocab training pass; same ASCII filter) inner-joined to the
+    final vocab states — per-doc BPE token and char sums hash-match."""
+    with_clause, _ = _bpe_rounds(n_merges)
+    return f"""{with_clause},
+        dw AS (
+            SELECT doc_id, word FROM (
+                SELECT doc_id, unnest(string_split_regex(lower(trim(text)),
+                    '\\s+')) AS word FROM documents)
+            WHERE regexp_matches(word, '^[!-~]+$')
+        )
+        SELECT doc_id, CAST(sum(len(st)) AS BIGINT) AS n_bpe_tokens,
+               CAST(sum(len(word)) AS BIGINT) AS n_chars
+        FROM dw JOIN w{n_merges} USING (word)
+        GROUP BY doc_id
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "validate_verdicts": f"SELECT doc_id, {_VALID_COND} AS is_valid FROM documents",
@@ -2866,6 +2968,8 @@ def oracle_sql() -> dict[str, str]:
         "kmeans_clusters": _kmeans_oracle(),
         "bm25_topk": _bm25_oracle(),
         "pq_topk": _pq_oracle(),
+        "bpe_merges": _bpe_oracle(),
+        "bpe_token_stats": _bpe_encode_oracle(),
         "dsir_weights": _dsir_oracle(),
         "dsir_sample": _dsir_sample_oracle(),
         "split_leakage": _split_leakage_oracle(),

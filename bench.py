@@ -81,6 +81,8 @@ BENCH_QUERIES = [
     "kmeans_clusters",
     "bm25_topk",
     "pq_topk",
+    "bpe_merges",
+    "bpe_token_stats",
 ]
 
 

@@ -612,3 +612,144 @@ def bm25_topk(df: DataFrame, query_terms: List[str], n: int = 100,
             .where(F.col("score") > 0)
             .orderBy(F.col("score").desc(), F.col(id_col))
             .limit(n))
+
+
+def _bpe_merge_udf(px: str, py: str):
+    """Arrow-vectorized canonical BPE merge application: one greedy
+    left-to-right pass replacing adjacent (px, py) token pairs with their
+    concatenation. Greedy-sequential semantics (a freshly merged token is
+    immediately eligible as the LEFT context of the next comparison) match
+    the reference BPE algorithm on self-overlapping runs — 'a'×5 under
+    (a,a) gives [aa, aa, a] — and are exactly what the oracle's
+    list_reduce fold replays."""
+    import pandas as pd
+
+    @F.pandas_udf("array<string>")
+    def mrg(states):
+        out = []
+        for toks in states.tolist():
+            if toks is None:
+                out.append(None)
+                continue
+            res = []
+            for t in toks:
+                if res and res[-1] == px and t == py:
+                    res[-1] = px + py
+                else:
+                    res.append(t)
+            out.append(res)
+        return pd.Series(out, dtype=object)
+
+    return mrg
+
+
+def bpe_train(df: DataFrame, n_merges: int = 10, text_col: str = "text",
+              lowercase: bool = True) -> DataFrame:
+    """Learn byte-pair-encoding merge rules from a corpus →
+    (merge_rank, lhs, rhs, pair_count) — the tokenizer-training step of a
+    data pipeline (Sennrich et al. 2016; the word-frequency formulation
+    every production BPE trainer uses).
+
+    Scale shape: the CORPUS is touched exactly once — one map-side-
+    combined word-frequency groupBy (the only corpus-scale shuffle).
+    Every merge round then runs over the DISTINCT-VOCAB table only
+    (orders of magnitude smaller, but still distributed — web-scale
+    vocabs run to 10^8 words, far too big to collect as HF's in-memory
+    trainer would): one pair-count aggregate with frequency weights
+    feeding a global argmax via orderBy().limit(1) (TakeOrdered — never a
+    sort), then one Arrow merge pass updating token states. The driver
+    sees O(1) per round (the winning pair); each round persists its state
+    and releases the previous one.
+
+    Determinism / oracle parity: greedy left-to-right merge application
+    (see _bpe_merge_udf); argmax ties break lexicographically (lhs, rhs);
+    training stops early when no pair remains. Words are restricted to
+    printable ASCII (``^[!-~]+$``) so per-character indexing agrees
+    across engines (Spark substring counts UTF-16 code units, DuckDB
+    counts codepoints — equal only on ASCII); extend with an
+    ICU-consistent pre-segmenter for full Unicode."""
+    merges, vocab = _bpe_learn(df, n_merges, text_col, lowercase)
+    vocab.unpersist()
+    return df.sparkSession.createDataFrame(
+        merges, "merge_rank int, lhs string, rhs string, pair_count bigint")
+
+
+def _bpe_words(df: DataFrame, text_col: str, lowercase: bool):
+    """The shared whitespace + printable-ASCII word split (see bpe_train
+    for why ASCII)."""
+    c = F.trim(F.col(text_col))
+    if lowercase:
+        c = F.lower(c)
+    return (df.select(F.explode(F.split(c, r"\s+")).alias("word"))
+            .where(F.col("word").rlike("^[!-~]+$")))
+
+
+def _bpe_learn(df: DataFrame, n_merges: int, text_col: str,
+               lowercase: bool):
+    """Training loop shared by bpe_train / bpe_encode_stats → (merges
+    list, PERSISTED vocab frame (word, n, st) holding post-merge token
+    states — the caller owns the unpersist)."""
+    # per-char init state is an interpreted HOF — fine, it runs over the
+    # distinct vocab once, not the corpus
+    words = (_bpe_words(df, text_col, lowercase)
+             .groupBy("word").agg(F.count("*").alias("n"))
+             .withColumn("st", F.expr(
+                 "transform(sequence(1, char_length(word)), "
+                 "j -> substring(word, j, 1))"))
+             .persist())
+
+    merges = []
+    cur = words
+    for rank in range(1, n_merges + 1):
+        top = (cur.where(F.size("st") >= 2)
+               .select("n", F.explode(F.expr(
+                   "transform(sequence(1, size(st) - 1), "
+                   "j -> struct(element_at(st, j) AS lhs, "
+                   "element_at(st, j + 1) AS rhs))")).alias("p"))
+               .groupBy("p.lhs", "p.rhs")
+               .agg(F.sum("n").alias("cnt"))
+               .orderBy(F.col("cnt").desc(), "lhs", "rhs")
+               .limit(1).collect())
+        if not top:
+            break
+        px, py, cnt = top[0]["lhs"], top[0]["rhs"], int(top[0]["cnt"])
+        merges.append((rank, px, py, cnt))
+        nxt = (cur.withColumn("st", _bpe_merge_udf(px, py)(F.col("st")))
+               .persist())
+        nxt.count()          # materialize before dropping the parent
+        cur.unpersist()
+        cur = nxt
+    return merges, cur
+
+
+def bpe_encode_stats(df: DataFrame, n_merges: int = 10,
+                     id_col: str = "doc_id", text_col: str = "text",
+                     lowercase: bool = True) -> DataFrame:
+    """Apply a corpus-trained BPE tokenizer back to the corpus →
+    (id, n_bpe_tokens, n_chars) per document — the token-budget /
+    fertility measurement a pipeline runs before packing or pricing a
+    training mix with a freshly trained tokenizer.
+
+    The scale split: training touches only the distinct vocab (see
+    bpe_train); APPLICATION never runs Python over the corpus at all —
+    the per-word BPE token count is precomputed on the vocab table once,
+    then the corpus pass is explode + broadcast hash join + one map-side-
+    combined sum. Words outside the printable-ASCII filter drop out of
+    both counts (inner join), exactly as they were excluded from
+    training; documents with no surviving words yield no row."""
+    from . import cache
+
+    merges, vocab = _bpe_learn(df, n_merges, text_col, lowercase)
+    per_word = vocab.select("word", F.size("st").alias("n_tok"),
+                            F.char_length("word").alias("n_chr"))
+    c = F.trim(F.col(text_col))
+    if lowercase:
+        c = F.lower(c)
+    doc_words = (df.select(F.col(id_col),
+                           F.explode(F.split(c, r"\s+")).alias("word"))
+                 .where(F.col("word").rlike("^[!-~]+$")))
+    out = (doc_words.join(F.broadcast(per_word), "word")
+           .groupBy(id_col)
+           .agg(F.sum("n_tok").alias("n_bpe_tokens"),
+                F.sum("n_chr").alias("n_chars")))
+    return cache.register(out, vocab)

@@ -1,0 +1,83 @@
+"""Semantic tests for the BPE tokenizer trainer (text.bpe_train) and the
+corpus application pass (text.bpe_encode_stats).
+
+Driver-gate parity (full DuckDB merge-round replay at sf0.01) is covered
+by test_entry_oracle; these pin the ALGORITHM on constructed corpora:
+frequency-weighted merge selection, greedy left-to-right application on
+self-overlapping runs, lexicographic tie-breaks, early exhaustion, the
+ASCII filter, and partitioning invariance.
+"""
+
+from json_schema_spark.pipeline import text
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id bigint, text string")
+
+
+def test_bpe_learns_frequent_pair_first(spark):
+    # 'abab' x3 vs 'cd' x1: (a,b) count 6 beats everything
+    d = _docs(spark, ["abab abab abab", "cd"])
+    got = [tuple(r) for r in text.bpe_train(d, n_merges=2).collect()]
+    assert got[0] == (1, "a", "b", 6)
+    # after merging, (ab, ab) appears 3 times and wins round 2
+    assert got[1] == (2, "ab", "ab", 3)
+
+
+def test_bpe_greedy_on_self_overlapping_runs(spark):
+    # canonical greedy: 'aaaaa' under (a,a) -> [aa, aa, a] (NOT the
+    # [aa, a, aa] a string-replace scheme would give), so round 2 sees
+    # (aa,aa) and (aa,a) once each per word occurrence (weight 2) and the
+    # lexicographic rhs tie-break picks ('aa','a'); merging it greedily
+    # gives [aa, aaa], pinning round 3 to ('aa','aaa')
+    d = _docs(spark, ["aaaaa aaaaa"])
+    got = [tuple(r) for r in text.bpe_train(d, n_merges=3).collect()]
+    assert got == [(1, "a", "a", 8), (2, "aa", "a", 2),
+                   (3, "aa", "aaa", 2)]
+
+
+def test_bpe_tie_breaks_lexicographically(spark):
+    # (a,b) and (c,d) both count 2 -> lexicographic pick (a,b)
+    d = _docs(spark, ["ab cd ab cd"])
+    got = [tuple(r) for r in text.bpe_train(d, n_merges=1).collect()]
+    assert got == [(1, "a", "b", 2)]
+
+
+def test_bpe_stops_when_exhausted(spark):
+    # every word collapses to one token after 2 merges; round 3 has no
+    # pairs and training stops early
+    d = _docs(spark, ["abc abc"])
+    got = text.bpe_train(d, n_merges=10).collect()
+    assert len(got) == 2
+
+
+def test_bpe_ascii_filter_and_lowercase(spark):
+    # the non-ASCII word contributes nothing; 'AB' lowercases into 'ab'
+    d = _docs(spark, ["AB ab café"])
+    got = [tuple(r) for r in text.bpe_train(d, n_merges=1).collect()]
+    assert got == [(1, "a", "b", 2)]
+
+
+def test_bpe_partitioning_invariant(spark):
+    texts = [f"tok{i % 7} tok{i % 5} shared shared" for i in range(40)]
+    a = [tuple(r) for r in text.bpe_train(
+        _docs(spark, texts).repartition(1), n_merges=6).collect()]
+    b = [tuple(r) for r in text.bpe_train(
+        _docs(spark, texts).repartition(13, "doc_id"), n_merges=6).collect()]
+    assert a == b
+
+
+def test_bpe_encode_stats_counts(spark):
+    # after (a,b)->ab and (ab,ab)->abab, 'abab'=1 token, 'cd' untouched=2
+    d = _docs(spark, ["abab abab abab", "cd"])
+    got = {r["doc_id"]: (r["n_bpe_tokens"], r["n_chars"])
+           for r in text.bpe_encode_stats(d, n_merges=2).collect()}
+    assert got[0] == (3, 12)    # three 'abab' words, one token each
+    assert got[1] == (2, 2)     # 'cd' never merged
+
+
+def test_bpe_encode_stats_drops_empty_docs(spark):
+    d = _docs(spark, ["ab ab", "", "café"])
+    got = {r["doc_id"] for r in text.bpe_encode_stats(d, n_merges=1).collect()}
+    assert got == {0}

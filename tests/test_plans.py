@@ -287,3 +287,16 @@ def test_pq_topk_broadcasts_queries_no_global_sort(spark):
                                     n_iters=1))
     assert "BroadcastExchange" in plan, plan
     assert "Exchange rangepartitioning" not in plan, plan
+
+
+def test_bpe_encode_broadcasts_vocab(spark):
+    """The corpus-facing BPE application pass must be explode + BROADCAST
+    vocab join + partial-aggregated sum — the corpus side shuffles only
+    the per-doc partial sums, and never enters Python (the Arrow merge
+    UDF lives on the vocab branch only)."""
+    from json_schema_spark.pipeline import text
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = _plan(text.bpe_encode_stats(docs, n_merges=3))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "partial_sum" in plan or "HashAggregate" in plan, plan
