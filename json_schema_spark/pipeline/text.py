@@ -667,7 +667,14 @@ def bpe_train(df: DataFrame, n_merges: int = 10, text_col: str = "text",
     printable ASCII (``^[!-~]+$``) so per-character indexing agrees
     across engines (Spark substring counts UTF-16 code units, DuckDB
     counts codepoints — equal only on ASCII); extend with an
-    ICU-consistent pre-segmenter for full Unicode."""
+    ICU-consistent pre-segmenter for full Unicode.
+
+    At production merge counts (2k–32k) per-round fixed job overhead
+    (~0.5 s) dominates a small vocab; the standard fix is batch rounds —
+    take the top-T pairs whose four token endpoints are pairwise disjoint
+    and apply them in one pass (disjoint merges can't change each other's
+    counts, so the result equals T sequential rounds). Kept out of this
+    implementation to keep the oracle replay one-merge-per-round."""
     merges, vocab = _bpe_learn(df, n_merges, text_col, lowercase)
     vocab.unpersist()
     return df.sparkSession.createDataFrame(
@@ -700,6 +707,7 @@ def _bpe_learn(df: DataFrame, n_merges: int, text_col: str,
 
     merges = []
     cur = words
+    prev = None
     for rank in range(1, n_merges + 1):
         top = (cur.where(F.size("st") >= 2)
                .select("n", F.explode(F.expr(
@@ -710,15 +718,26 @@ def _bpe_learn(df: DataFrame, n_merges: int, text_col: str,
                .agg(F.sum("n").alias("cnt"))
                .orderBy(F.col("cnt").desc(), "lhs", "rhs")
                .limit(1).collect())
+        # the collect above materialized cur's cache, so its parent can go
+        # now — deferring the unpersist one round replaces a per-round
+        # count() materialization job (measured: ~half the round cost at
+        # small vocab, where fixed job overhead dominates)
+        if prev is not None:
+            prev.unpersist()
+            prev = None
         if not top:
             break
         px, py, cnt = top[0]["lhs"], top[0]["rhs"], int(top[0]["cnt"])
         merges.append((rank, px, py, cnt))
         nxt = (cur.withColumn("st", _bpe_merge_udf(px, py)(F.col("st")))
                .persist())
-        nxt.count()          # materialize before dropping the parent
-        cur.unpersist()
+        prev = cur
         cur = nxt
+    if prev is not None:
+        # final state was never materialized: do it while its parent is
+        # still cached, or a downstream consumer recomputes the whole chain
+        cur.count()
+        prev.unpersist()
     return merges, cur
 
 
