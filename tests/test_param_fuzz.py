@@ -380,3 +380,66 @@ def test_fuzz_similarity_family(spark, fuzz_dir, fuzz_duck, seed):
            _lsh_topk_oracle(planes=planes, seed=hp_seed, k=k, bands=bands),
            f"lsh_topk seed={seed} planes={planes} bands={bands} k={k}")
     cache.release(out)
+
+
+@pytest.mark.parametrize("seed", SEEDS)
+def test_fuzz_model_family(spark, fuzz_dir, fuzz_duck, seed):
+    """kmeans + PQ off the golden path: random k / iteration counts /
+    subspace splits / training fractions, oracle SQL regenerated for the
+    drawn parameters (the fuzz embeddings are dim 12)."""
+    from __spark_entry__ import _kmeans_oracle, _pq_oracle
+
+    rng = random.Random(seed)
+    emb = spark.read.parquet(f"{fuzz_dir}/embeddings.parquet")
+
+    k = rng.randrange(2, 6)
+    iters = rng.randrange(1, 4)
+    kseed = rng.randrange(0, 1000)
+    _, assign = similarity.kmeans(emb, k=k, n_iters=iters, seed=kseed)
+    _check(assign, fuzz_duck, _kmeans_oracle(k=k, n_iters=iters, seed=kseed),
+           f"kmeans seed={seed} k={k} iters={iters}")
+    cache.release(assign)
+
+    m = rng.choice([2, 3, 4, 6])
+    k_sub = rng.randrange(3, 7)
+    piters = rng.randrange(1, 3)
+    frac = rng.choice([1.0, 0.7, 0.5])
+    nq = rng.randrange(2, 5)
+    topk = rng.randrange(3, 6)
+    pseed = rng.randrange(0, 1000)
+    out = similarity.pq_topk(emb, k=topk, n_queries=nq, m=m, k_sub=k_sub,
+                             n_iters=piters, train_fraction=frac, seed=pseed)
+    _check(out, fuzz_duck,
+           _pq_oracle(k=topk, n_queries=nq, m=m, k_sub=k_sub,
+                      n_iters=piters, train_fraction=frac, dim=12,
+                      seed=pseed),
+           f"pq seed={seed} m={m} k_sub={k_sub} iters={piters} frac={frac}")
+    cache.release(out)
+
+
+@pytest.mark.parametrize("seed", SEEDS)
+def test_fuzz_tokenizer_family(spark, fuzz_dir, fuzz_duck, seed):
+    """BPE + BM25 off the golden path: random merge counts, query terms,
+    result sizes, and k1/b, oracle SQL regenerated per draw."""
+    from __spark_entry__ import (_bm25_oracle, _bpe_encode_oracle,
+                                 _bpe_oracle)
+
+    rng = random.Random(seed)
+    docs = _docs(spark, fuzz_dir)
+
+    n_merges = rng.randrange(3, 9)
+    _check(text_ops.bpe_train(docs, n_merges=n_merges), fuzz_duck,
+           _bpe_oracle(n_merges), f"bpe_train seed={seed} m={n_merges}")
+    out = text_ops.bpe_encode_stats(docs, n_merges=n_merges)
+    _check(out, fuzz_duck, _bpe_encode_oracle(n_merges),
+           f"bpe_encode seed={seed} m={n_merges}")
+    cache.release(out)
+
+    terms = rng.sample(["join", "scan", "hash", "vector", "window",
+                        "table", "der", "alpha"], rng.randrange(2, 5))
+    n = rng.randrange(5, 30)
+    k1 = rng.choice([0.9, 1.2, 2.0])
+    b = rng.choice([0.0, 0.4, 0.75, 1.0])
+    _check(text_ops.bm25_topk(docs, terms, n=n, k1=k1, b=b), fuzz_duck,
+           _bm25_oracle(terms, n=n, k1=k1, b=b),
+           f"bm25 seed={seed} terms={terms} n={n} k1={k1} b={b}")
