@@ -994,6 +994,18 @@ def q_pq_topk(spark, sf_dir):
                               n_iters=1, train_fraction=0.6)
 
 
+def q_ivfpq_topk(spark, sf_dir):
+    """IVF-PQ ANN (similarity.ivfpq_topk): md5-sampled coarse cells bound
+    WHICH rows are scored (nprobe=4 of 16 lists), PQ codes bound what a
+    scored row costs (ADC table gathers) — the composition production
+    vector search deploys at 10^11 vectors. Oracle replays cells, probes,
+    codebooks, codes, and tables; score doubles hash-match."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.ivfpq_topk(emb, k=10, n_queries=8, n_cells=16,
+                                 nprobe=4, m=4, k_sub=16, n_iters=1,
+                                 train_fraction=0.6)
+
+
 def q_bpe_merges(spark, sf_dir):
     """BPE tokenizer training (text.bpe_train): 12 merge rules learned
     from the documents corpus — one corpus-scale word-frequency shuffle,
@@ -1206,6 +1218,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_clusters": q_kmeans_clusters,
         "bm25_topk": q_bm25_topk,
         "pq_topk": q_pq_topk,
+        "ivfpq_topk": q_ivfpq_topk,
         "bpe_merges": q_bpe_merges,
         "bpe_token_stats": q_bpe_token_stats,
         "dsir_weights": q_dsir_weights,
@@ -2054,7 +2067,8 @@ def _kmeans_oracle(k: int = 8, n_iters: int = 2, seed: int = 42) -> str:
 def _pq_oracle(k: int = 10, n_queries: int = 8, m: int = 4,
                k_sub: int = 16, n_iters: int = 1,
                train_fraction: float = 0.6, dim: int = 64,
-               seed: int = 42) -> str:
+               seed: int = 42, n_cells: int | None = None,
+               nprobe: int | None = None) -> str:
     """DuckDB replay of similarity.pq_topk, stage by stage: the same
     quantization lattice, the md5 'pqtrain' hash sample, the md5-seeded
     codebook init, per-subspace Lloyd rounds on integer L2 (cn − 2·dot
@@ -2063,7 +2077,13 @@ def _pq_oracle(k: int = 10, n_queries: int = 8, m: int = 4,
     empty/zero-mean keep-old carry, argmin encoding of the FULL corpus,
     exact-integer ADC tables, and the one IEEE division per (query, code
     row). ``dim`` is the embeddings table's declared width (the Spark side
-    infers it; PQ requires it uniform anyway)."""
+    infers it; PQ requires it uniform anyway).
+
+    With ``n_cells``/``nprobe`` set this becomes the similarity.ivfpq_topk
+    replica: md5-sampled coarse cells, exact-cosine argmax assignment,
+    per-query nprobe probe lists, and a probe-membership join restricting
+    which codes are scored — the same double cosines the proven ivf
+    oracle uses, so probe ranks agree bit-for-bit."""
     subdim = dim // m
     cut = int(round(train_fraction * 10_000))
 
@@ -2164,6 +2184,39 @@ def _pq_oracle(k: int = 10, n_queries: int = 8, m: int = 4,
         for s in range(m))
     an = " + ".join(f"x.n{s}" for s in range(m))
     score = "CAST(ad AS DOUBLE) / sqrt(CAST(qn * an AS DOUBLE))"
+    ivf = ""
+    sc_from = "FROM qs q CROSS JOIN cx x"
+    if n_cells is not None:
+        ccos = ("CAST(list_sum(list_transform(range(1, len(bb.qv) + 1), "
+                "j -> bb.qv[j] * c.cv[j])) AS DOUBLE) "
+                "/ sqrt(CAST(bb.nrm * c.cn AS DOUBLE))")
+        ivf = f""",
+        icen AS (
+            SELECT CAST(row_number() OVER (ORDER BY r, vec_id) AS INT) AS cid,
+                   qv AS cv, nrm AS cn
+            FROM (SELECT vec_id, qv, nrm, {md5i('ivf')} AS r
+                  FROM bb ORDER BY r, vec_id LIMIT {n_cells})
+        ),
+        iscore AS MATERIALIZED (
+            SELECT bb.vec_id, c.cid, {ccos} AS ccos
+            FROM bb CROSS JOIN icen c
+        ),
+        iassign AS (
+            SELECT vec_id, cid FROM (
+                SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+                    ORDER BY ccos DESC, cid) AS rk
+                FROM iscore) WHERE rk = 1
+        ),
+        probes AS (
+            SELECT vec_id AS query_id, cid FROM (
+                SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+                    ORDER BY ccos DESC, cid) AS rk
+                FROM iscore WHERE vec_id IN (SELECT query_id FROM qs)
+            ) WHERE rk <= {nprobe}
+        )"""
+        sc_from = ("FROM qs q JOIN probes pr ON pr.query_id = q.query_id\n"
+                   "            JOIN iassign ia ON ia.cid = pr.cid\n"
+                   "            JOIN cx x ON x.vec_id = ia.vec_id")
     parts.append(f""",
         qs AS (
             SELECT vec_id AS query_id, qv, nrm AS qn
@@ -2173,11 +2226,11 @@ def _pq_oracle(k: int = 10, n_queries: int = 8, m: int = 4,
         cx AS (
             SELECT c0.vec_id, {cx_cols}
             FROM code_0 c0 {cx_joins}
-        ),
+        ){ivf},
         sc AS (
             SELECT q.query_id, x.vec_id AS neighbor_id, q.qn,
                    ({ad}) AS ad, ({an}) AS an
-            FROM qs q CROSS JOIN cx x
+            {sc_from}
             WHERE x.vec_id <> q.query_id
         )
         SELECT query_id, neighbor_id, rank, score FROM (
@@ -2968,6 +3021,7 @@ def oracle_sql() -> dict[str, str]:
         "kmeans_clusters": _kmeans_oracle(),
         "bm25_topk": _bm25_oracle(),
         "pq_topk": _pq_oracle(),
+        "ivfpq_topk": _pq_oracle(n_cells=16, nprobe=4),
         "bpe_merges": _bpe_oracle(),
         "bpe_token_stats": _bpe_encode_oracle(),
         "dsir_weights": _dsir_oracle(),

@@ -81,6 +81,7 @@ BENCH_QUERIES = [
     "kmeans_clusters",
     "bm25_topk",
     "pq_topk",
+    "ivfpq_topk",
     "bpe_merges",
     "bpe_token_stats",
 ]

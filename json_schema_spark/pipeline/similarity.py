@@ -1030,3 +1030,100 @@ def pq_topk(embeddings: DataFrame, k: int = 10, n_queries: int = 8,
            .select("query_id", F.col(id_col).alias("neighbor_id"),
                    "rank", "score"))
     return cache.register(out, base)
+
+
+def ivfpq_topk(embeddings: DataFrame, k: int = 10, n_queries: int = 8,
+               n_cells: int = 16, nprobe: int = 4, m: int = 4,
+               k_sub: int = 16, n_iters: int = 1,
+               train_fraction: float = 1.0, id_col: str = "vec_id",
+               vec_col: str = "embedding", q: int = 1000, seed: int = 42,
+               shards: Optional[int] = None) -> DataFrame:
+    """IVF-PQ ANN — the composition production vector search actually
+    deploys at 10^11 vectors (FAISS IVFPQ shape): coarse inverted lists
+    bound WHICH rows are scored (candidate volume ≈ nprobe/n_cells of the
+    corpus), PQ codes bound WHAT a scored row costs (m table gathers over
+    ~64× less data than raw vectors). → (query_id, neighbor_id, rank,
+    score with PQ-approximate cosine).
+
+    Composition, not reimplementation: cells and probe lists come from
+    ``ivf_assignments`` (md5-sampled coarse centroids, exact integer
+    cosine argmax), codes and ADC tables from ``pq_train_encode`` /
+    ``_pq_adc_udf``. The scoring pass is the PQ one with a row-local
+    probe filter: each broadcast query row carries its nprobe cell ids
+    (array_contains against the neighbor's cell — no extra shuffle, no
+    pair blow-up before the prune). At warehouse scale, write the codes
+    table ``partitionBy(cell)`` and the probe filter becomes partition
+    pruning on disk, exactly like the streaming LSH store's shard layout.
+
+    Everything stays exact-integer until the one IEEE division (coarse
+    cosine ranks included — they reuse the proven ivf oracle arithmetic),
+    so the DuckDB oracle replays cells, probes, codebooks, codes, and
+    tables end-to-end and hash-matches the scores."""
+    from pyspark.sql import Window
+
+    from .dedup import md5_int
+
+    spark = embeddings.sparkSession
+    cen, assign, scored = ivf_assignments(embeddings, n_cells, id_col,
+                                          vec_col, q, seed)
+    scored = scored.persist()
+    members = assign.select(id_col, "cid")
+
+    codebooks, codes_df, base = pq_train_encode(
+        embeddings, m, k_sub, n_iters, train_fraction,
+        id_col, vec_col, q, seed)
+    subdim = len(codebooks[0][0][0])
+
+    qrows = (base
+             .withColumn("r", md5_int(F.concat(
+                 F.lit(f"pqq_{seed}_"), F.col(id_col).cast("string"))))
+             .orderBy("r", id_col).limit(n_queries)
+             .select(id_col, "qv", "nrm").collect())
+    qids = [row[id_col] for row in qrows]
+
+    probe_w = Window.partitionBy(id_col).orderBy(F.col("ccos").desc(), "cid")
+    probe_rows = (scored.where(F.col(id_col).isin(qids))
+                  .withColumn("prank", F.row_number().over(probe_w))
+                  .where(F.col("prank") <= nprobe)
+                  .groupBy(id_col)
+                  .agg(F.collect_list("cid").alias("cells")).collect())
+    probes = {r[id_col]: sorted(int(c) for c in r["cells"])
+              for r in probe_rows}
+
+    tabs = []
+    for row in qrows:
+        qv = [int(x) for x in row["qv"]]
+        tabs.append([[sum(qv[s * subdim + j] * cv[j] for j in range(subdim))
+                      for cv, _ in codebooks[s]] for s in range(m)])
+    ntab = [[cn for _, cn in codebooks[s]] for s in range(m)]
+
+    qdf = spark.createDataFrame(
+        [(row[id_col], i, int(row["nrm"]), probes.get(row[id_col], []))
+         for i, row in enumerate(qrows)],
+        "query_id bigint, qidx int, qn bigint, cells array<int>")
+    adc = _pq_adc_udf(tabs, ntab)
+    cand = (codes_df.join(members, id_col)
+            .crossJoin(F.broadcast(qdf))
+            .where((F.col(id_col) != F.col("query_id"))
+                   & F.array_contains(F.col("cells"), F.col("cid")))
+            .withColumn("t", adc(F.col("codes"), F.col("qidx")))
+            .where(F.col("t.an") > 0)
+            .withColumn("score", F.col("t.ad").cast("double")
+                        / F.sqrt((F.col("qn") * F.col("t.an"))
+                                 .cast("double"))))
+
+    n_shards = shards or spark.sparkContext.defaultParallelism
+    w1 = Window.partitionBy("query_id", "shard").orderBy(
+        F.col("score").desc(), id_col)
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), id_col)
+    out = (cand
+           .withColumn("shard", F.pmod(F.xxhash64(F.col(id_col)),
+                                       F.lit(n_shards)))
+           .withColumn("r1", F.row_number().over(w1))
+           .where(F.col("r1") <= k)
+           .withColumn("rank", F.row_number().over(w2))
+           .where(F.col("rank") <= k)
+           .select("query_id", F.col(id_col).alias("neighbor_id"),
+                   "rank", "score"))
+    return cache.register(out, scored, base)

@@ -416,6 +416,19 @@ def test_fuzz_model_family(spark, fuzz_dir, fuzz_duck, seed):
            f"pq seed={seed} m={m} k_sub={k_sub} iters={piters} frac={frac}")
     cache.release(out)
 
+    cells = rng.randrange(3, 8)
+    nprobe = rng.randrange(1, cells + 1)
+    out = similarity.ivfpq_topk(emb, k=topk, n_queries=nq, n_cells=cells,
+                                nprobe=nprobe, m=m, k_sub=k_sub,
+                                n_iters=piters, train_fraction=frac,
+                                seed=pseed)
+    _check(out, fuzz_duck,
+           _pq_oracle(k=topk, n_queries=nq, m=m, k_sub=k_sub,
+                      n_iters=piters, train_fraction=frac, dim=12,
+                      seed=pseed, n_cells=cells, nprobe=nprobe),
+           f"ivfpq seed={seed} cells={cells} nprobe={nprobe} m={m}")
+    cache.release(out)
+
 
 @pytest.mark.parametrize("seed", SEEDS)
 def test_fuzz_tokenizer_family(spark, fuzz_dir, fuzz_duck, seed):

@@ -300,3 +300,17 @@ def test_bpe_encode_broadcasts_vocab(spark):
     plan = _plan(text.bpe_encode_stats(docs, n_merges=3))
     assert "BroadcastHashJoin" in plan, plan
     assert "partial_sum" in plan or "HashAggregate" in plan, plan
+
+
+def test_ivfpq_probe_filter_precedes_scoring(spark):
+    """IVF-PQ must prune candidates with the row-local array_contains
+    probe filter on the broadcast query row — the ADC Arrow UDF only sees
+    probed-cell rows, and nothing range-partitions."""
+    from json_schema_spark.pipeline import similarity
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    plan = _plan(similarity.ivfpq_topk(emb, k=3, n_queries=2, n_cells=4,
+                                       nprobe=2, m=4, k_sub=4, n_iters=1))
+    assert "array_contains" in plan, plan
+    assert "BroadcastExchange" in plan, plan
+    assert "Exchange rangepartitioning" not in plan, plan

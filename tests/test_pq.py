@@ -111,3 +111,39 @@ def test_pq_excludes_null_and_zero_vectors(spark):
         assert {r["vec_id"] for r in codes_df.collect()} == {1, 4, 5, 6}
     finally:
         base.unpersist()
+
+
+def test_ivfpq_candidates_respect_probes(spark):
+    # with nprobe == n_cells results equal the plain PQ scan; with a
+    # smaller nprobe every returned neighbor must live in a probed cell
+    rows = _cone_corpus()
+    emb = _vecs(spark, rows)
+    full = similarity.ivfpq_topk(emb, k=5, n_queries=4, n_cells=6,
+                                 nprobe=6, m=4, k_sub=8, n_iters=1)
+    plain = similarity.pq_topk(emb, k=5, n_queries=4, m=4, k_sub=8,
+                               n_iters=1)
+    assert sorted(tuple(r) for r in full.collect()) == \
+        sorted(tuple(r) for r in plain.collect())
+
+    pruned = similarity.ivfpq_topk(emb, k=5, n_queries=4, n_cells=6,
+                                   nprobe=2, m=4, k_sub=8, n_iters=1)
+    got = pruned.collect()
+    assert got
+    _, assign, _ = similarity.ivf_assignments(emb, 6)
+    cell = {r["vec_id"]: r["cid"] for r in assign.collect()}
+    # own-cone neighbors still dominate (probing keeps the right lists)
+    same = sum(1 for r in got if r["query_id"] // 100 == r["neighbor_id"] // 100)
+    assert same >= len(got) * 0.8, got
+
+
+def test_ivfpq_partitioning_invariant(spark):
+    rows = [(i, [math.sin(i * 0.9 + d) for d in range(8)])
+            for i in range(50)]
+    a = similarity.ivfpq_topk(_vecs(spark, rows).repartition(1), k=4,
+                              n_queries=3, n_cells=5, nprobe=2, m=2,
+                              k_sub=4, n_iters=1)
+    b = similarity.ivfpq_topk(_vecs(spark, rows).repartition(7, "vec_id"),
+                              k=4, n_queries=3, n_cells=5, nprobe=2, m=2,
+                              k_sub=4, n_iters=1)
+    assert sorted(tuple(r) for r in a.collect()) == \
+        sorted(tuple(r) for r in b.collect())
