@@ -409,17 +409,24 @@ def lsh_topk(embeddings: DataFrame, k: int = 5, planes: int = 8,
 
 def ivf_assignments(embeddings: DataFrame, n_centroids: int = 16,
                     id_col: str = "vec_id", vec_col: str = "embedding",
-                    q: int = 1000, seed: int = 42):
+                    q: int = 1000, seed: int = 42,
+                    base: Optional[DataFrame] = None):
     """(centroid table, assignment table) for IVF-flat search.
 
     Centroids are a deterministic pseudo-random sample: the ``n_centroids``
     vectors with the smallest md5('ivf_<seed>_' || id) — engine-portable
     (no kmeans iterations whose float summation order would diverge across
     engines). Every vector is assigned to its max-cosine centroid with
-    exact integer dot products; ties break on centroid id."""
+    exact integer dot products; ties break on centroid id.
+
+    ``base`` short-circuits the quantization pass with an existing
+    (id, qv, nrm) frame — composers that already paid the corpus scan
+    (ivfpq_topk shares pq_train_encode's persisted frame) must not scan
+    it twice."""
     from pyspark.sql import Window
 
-    base = _quant_vecs(embeddings, id_col, vec_col, q, "qv", "nrm")
+    if base is None:
+        base = _quant_vecs(embeddings, id_col, vec_col, q, "qv", "nrm")
 
     # top-k by hash, NOT a global row_number over the corpus: orderBy+limit
     # plans as TakeOrdered (per-partition top-k, tiny driver merge); the
@@ -1064,15 +1071,16 @@ def ivfpq_topk(embeddings: DataFrame, k: int = 10, n_queries: int = 8,
     from .dedup import md5_int
 
     spark = embeddings.sparkSession
-    cen, assign, scored = ivf_assignments(embeddings, n_cells, id_col,
-                                          vec_col, q, seed)
-    scored = scored.persist()
-    members = assign.select(id_col, "cid")
-
     codebooks, codes_df, base = pq_train_encode(
         embeddings, m, k_sub, n_iters, train_fraction,
         id_col, vec_col, q, seed)
     subdim = len(codebooks[0][0][0])
+
+    # share the persisted quantized frame — never scan the corpus twice
+    cen, assign, scored = ivf_assignments(embeddings, n_cells, id_col,
+                                          vec_col, q, seed, base=base)
+    scored = scored.persist()
+    members = assign.select(id_col, "cid")
 
     qrows = (base
              .withColumn("r", md5_int(F.concat(
