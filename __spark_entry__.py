@@ -2271,14 +2271,20 @@ def _bpe_rounds(n_merges: int = 12):
         t{i} AS MATERIALIZED (SELECT lhs, rhs, cnt FROM p{i}
                  ORDER BY cnt DESC, lhs, rhs LIMIT 1),
         w{i} AS MATERIALIZED (
+            -- LEFT JOIN ON TRUE, not CROSS JOIN: once merges exhaust,
+            -- t{{i}} is empty and a cross join would EMPTY the vocab for
+            -- every later round — the encode oracle would return zero
+            -- rows while Spark's early break keeps the last state. The
+            -- NULL-pair branch carries st through unchanged instead.
             SELECT word, n,
+                   CASE WHEN t.lhs IS NULL THEN st ELSE
                    string_split(list_reduce(list_prepend('', st),
                        (acc, tk) -> CASE
                            WHEN tk = t.rhs AND ends_with(acc, chr(31) || t.lhs)
                            THEN left(acc, len(acc) - len(t.lhs)) || t.lhs || t.rhs
                            ELSE acc || chr(31) || tk END),
-                       chr(31))[2:] AS st
-            FROM w{i - 1} CROSS JOIN t{i} t
+                       chr(31))[2:] END AS st
+            FROM w{i - 1} LEFT JOIN t{i} t ON TRUE
         )""")
         finals.append(f"SELECT CAST({i} AS INT) AS merge_rank, lhs, rhs, "
                       f"cnt AS pair_count FROM t{i}")

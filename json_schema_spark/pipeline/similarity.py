@@ -411,7 +411,8 @@ def ivf_assignments(embeddings: DataFrame, n_centroids: int = 16,
                     id_col: str = "vec_id", vec_col: str = "embedding",
                     q: int = 1000, seed: int = 42,
                     base: Optional[DataFrame] = None):
-    """(centroid table, assignment table) for IVF-flat search.
+    """(centroid table, assignment table, scored crossJoin) for
+    IVF-flat search.
 
     Centroids are a deterministic pseudo-random sample: the ``n_centroids``
     vectors with the smallest md5('ivf_<seed>_' || id) — engine-portable
@@ -720,6 +721,8 @@ def kmeans(embeddings: DataFrame, k: int = 8, n_iters: int = 2,
     quantizers (identical plan shape, as their docstrings promise)."""
     from pyspark.sql import Window
 
+    from .dedup import md5_int
+
     spark = embeddings.sparkSession
     base = (_quant_vecs(embeddings, id_col, vec_col, q, "qv", "nrm")
             .where(F.col("nrm").isNotNull() & (F.col("nrm") > 0))
@@ -729,10 +732,9 @@ def kmeans(embeddings: DataFrame, k: int = 8, n_iters: int = 2,
     # md5('kmeans_<seed>_' || id) — TakeOrdered (per-partition top-k),
     # identical recipe to ivf_assignments
     sample = (base
-              .withColumn("r", F.conv(F.substring(F.md5(
-                  F.concat(F.lit(f"kmeans_{seed}_"),
-                           F.col(id_col).cast("string"))),
-                  1, 15), 16, 10).cast("bigint"))
+              .withColumn("r", md5_int(F.concat(
+                  F.lit(f"kmeans_{seed}_"),
+                  F.col(id_col).cast("string"))))
               .orderBy("r", id_col).limit(k))
     init = (sample
             .withColumn("cid", F.row_number().over(
@@ -986,57 +988,100 @@ def pq_topk(embeddings: DataFrame, k: int = 10, n_queries: int = 8,
     pipeline — sample, per-subspace Lloyd rounds, argmin codes, tables,
     ranks — and hash-matches. Rows whose reconstruction is the zero
     vector (an = 0, cosine undefined) are excluded on both sides."""
-    from pyspark.sql import Window
-
-    from .dedup import md5_int
-
-    spark = embeddings.sparkSession
     codebooks, codes_df, base = pq_train_encode(
         embeddings, m, k_sub, n_iters, train_fraction,
         id_col, vec_col, q, seed)
-    subdim = len(codebooks[0][0][0])
+    qrows, tabs, ntab = _pq_queries(base, codebooks, n_queries,
+                                    id_col, seed)
+    scored = _pq_adc_scored(codes_df, base, qrows, tabs, ntab, id_col)
+    out = _two_phase_topk(scored, k, id_col, shards)
+    return cache.register(out, base)
 
+
+def _pq_queries(base, codebooks, n_queries, id_col, seed):
+    """md5-sampled query vectors + their exact-integer ADC tables →
+    (query rows, per-query dot tables, shared norm table)."""
+    from .dedup import md5_int
+
+    if n_queries < 1:
+        raise ValueError(f"pq: n_queries must be >= 1, got {n_queries}")
+    subdim = len(codebooks[0][0][0])
+    m = len(codebooks)
     qrows = (base
              .withColumn("r", md5_int(F.concat(
                  F.lit(f"pqq_{seed}_"), F.col(id_col).cast("string"))))
              .orderBy("r", id_col).limit(n_queries)
              .select(id_col, "qv", "nrm").collect())
-
+    if not qrows:
+        raise ValueError("pq: no usable query vectors (empty corpus)")
     tabs = []
     for row in qrows:
         qv = [int(x) for x in row["qv"]]
         tabs.append([[sum(qv[s * subdim + j] * cv[j] for j in range(subdim))
                       for cv, _ in codebooks[s]] for s in range(m)])
     ntab = [[cn for _, cn in codebooks[s]] for s in range(m)]
+    return qrows, tabs, ntab
 
-    qdf = spark.createDataFrame(
-        [(row[id_col], i, int(row["nrm"])) for i, row in enumerate(qrows)],
-        "query_id bigint, qidx int, qn bigint")
+
+def _pq_adc_scored(codes, base, qrows, tabs, ntab, id_col,
+                   probes=None) -> DataFrame:
+    """Broadcast the query frame against the codes scan and ADC-score
+    every (query, code row) pair → frame with a ``score`` column. The
+    query-id field copies the corpus id column's type (ids are opaque —
+    string keys work like bigints, matching the rest of the module).
+    ``probes`` ({query_id: sorted cell ids}) requires ``codes`` to carry
+    a ``cid`` column and adds the row-local probed-cell filter."""
+    from pyspark.sql import types as T
+
+    spark = codes.sparkSession
+    id_type = base.schema[id_col].dataType
+    fields = [T.StructField("query_id", id_type),
+              T.StructField("qidx", T.IntegerType()),
+              T.StructField("qn", T.LongType())]
+    rows = [(row[id_col], i, int(row["nrm"]))
+            for i, row in enumerate(qrows)]
+    if probes is not None:
+        fields.append(T.StructField(
+            "cells", T.ArrayType(T.IntegerType())))
+        rows = [r + (probes.get(r[0], []),) for r in rows]
+    qdf = spark.createDataFrame(rows, T.StructType(fields))
+
+    cand = (codes.crossJoin(F.broadcast(qdf))
+            .where(F.col(id_col) != F.col("query_id")))
+    if probes is not None:
+        cand = cand.where(F.array_contains(F.col("cells"), F.col("cid")))
     adc = _pq_adc_udf(tabs, ntab)
-    scored = (codes_df
-              .crossJoin(F.broadcast(qdf))
-              .where(F.col(id_col) != F.col("query_id"))
-              .withColumn("t", adc(F.col("codes"), F.col("qidx")))
-              .where(F.col("t.an") > 0)
-              .withColumn("score", F.col("t.ad").cast("double")
-                          / F.sqrt((F.col("qn") * F.col("t.an"))
-                                   .cast("double"))))
+    return (cand
+            .withColumn("t", adc(F.col("codes"), F.col("qidx")))
+            .where(F.col("t.an") > 0)
+            .withColumn("score", F.col("t.ad").cast("double")
+                        / F.sqrt((F.col("qn") * F.col("t.an"))
+                                 .cast("double"))))
 
-    n_shards = shards or spark.sparkContext.defaultParallelism
+
+def _two_phase_topk(scored, k, id_col, shards=None) -> DataFrame:
+    """Per-query top-k without a per-query single-task window: rank
+    within (query, xxhash shard) first — no task sees more than its
+    shard — then globally over the surviving ≤ k·shards rows. Exactly
+    equivalent to one window because every global top-k row is a
+    fortiori in its shard's top-k; (score desc, id) is a total order."""
+    from pyspark.sql import Window
+
+    n_shards = (shards or
+                scored.sparkSession.sparkContext.defaultParallelism)
     w1 = Window.partitionBy("query_id", "shard").orderBy(
         F.col("score").desc(), id_col)
     w2 = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), id_col)
-    out = (scored
-           .withColumn("shard", F.pmod(F.xxhash64(F.col(id_col)),
-                                       F.lit(n_shards)))
-           .withColumn("r1", F.row_number().over(w1))
-           .where(F.col("r1") <= k)
-           .withColumn("rank", F.row_number().over(w2))
-           .where(F.col("rank") <= k)
-           .select("query_id", F.col(id_col).alias("neighbor_id"),
-                   "rank", "score"))
-    return cache.register(out, base)
+    return (scored
+            .withColumn("shard", F.pmod(F.xxhash64(F.col(id_col)),
+                                        F.lit(n_shards)))
+            .withColumn("r1", F.row_number().over(w1))
+            .where(F.col("r1") <= k)
+            .withColumn("rank", F.row_number().over(w2))
+            .where(F.col("rank") <= k)
+            .select("query_id", F.col(id_col).alias("neighbor_id"),
+                    "rank", "score"))
 
 
 def ivfpq_topk(embeddings: DataFrame, k: int = 10, n_queries: int = 8,
@@ -1068,13 +1113,9 @@ def ivfpq_topk(embeddings: DataFrame, k: int = 10, n_queries: int = 8,
     tables end-to-end and hash-matches the scores."""
     from pyspark.sql import Window
 
-    from .dedup import md5_int
-
-    spark = embeddings.sparkSession
     codebooks, codes_df, base = pq_train_encode(
         embeddings, m, k_sub, n_iters, train_fraction,
         id_col, vec_col, q, seed)
-    subdim = len(codebooks[0][0][0])
 
     # share the persisted quantized frame — never scan the corpus twice
     cen, assign, scored = ivf_assignments(embeddings, n_cells, id_col,
@@ -1082,11 +1123,8 @@ def ivfpq_topk(embeddings: DataFrame, k: int = 10, n_queries: int = 8,
     scored = scored.persist()
     members = assign.select(id_col, "cid")
 
-    qrows = (base
-             .withColumn("r", md5_int(F.concat(
-                 F.lit(f"pqq_{seed}_"), F.col(id_col).cast("string"))))
-             .orderBy("r", id_col).limit(n_queries)
-             .select(id_col, "qv", "nrm").collect())
+    qrows, tabs, ntab = _pq_queries(base, codebooks, n_queries,
+                                    id_col, seed)
     qids = [row[id_col] for row in qrows]
 
     probe_w = Window.partitionBy(id_col).orderBy(F.col("ccos").desc(), "cid")
@@ -1098,40 +1136,7 @@ def ivfpq_topk(embeddings: DataFrame, k: int = 10, n_queries: int = 8,
     probes = {r[id_col]: sorted(int(c) for c in r["cells"])
               for r in probe_rows}
 
-    tabs = []
-    for row in qrows:
-        qv = [int(x) for x in row["qv"]]
-        tabs.append([[sum(qv[s * subdim + j] * cv[j] for j in range(subdim))
-                      for cv, _ in codebooks[s]] for s in range(m)])
-    ntab = [[cn for _, cn in codebooks[s]] for s in range(m)]
-
-    qdf = spark.createDataFrame(
-        [(row[id_col], i, int(row["nrm"]), probes.get(row[id_col], []))
-         for i, row in enumerate(qrows)],
-        "query_id bigint, qidx int, qn bigint, cells array<int>")
-    adc = _pq_adc_udf(tabs, ntab)
-    cand = (codes_df.join(members, id_col)
-            .crossJoin(F.broadcast(qdf))
-            .where((F.col(id_col) != F.col("query_id"))
-                   & F.array_contains(F.col("cells"), F.col("cid")))
-            .withColumn("t", adc(F.col("codes"), F.col("qidx")))
-            .where(F.col("t.an") > 0)
-            .withColumn("score", F.col("t.ad").cast("double")
-                        / F.sqrt((F.col("qn") * F.col("t.an"))
-                                 .cast("double"))))
-
-    n_shards = shards or spark.sparkContext.defaultParallelism
-    w1 = Window.partitionBy("query_id", "shard").orderBy(
-        F.col("score").desc(), id_col)
-    w2 = Window.partitionBy("query_id").orderBy(
-        F.col("score").desc(), id_col)
-    out = (cand
-           .withColumn("shard", F.pmod(F.xxhash64(F.col(id_col)),
-                                       F.lit(n_shards)))
-           .withColumn("r1", F.row_number().over(w1))
-           .where(F.col("r1") <= k)
-           .withColumn("rank", F.row_number().over(w2))
-           .where(F.col("rank") <= k)
-           .select("query_id", F.col(id_col).alias("neighbor_id"),
-                   "rank", "score"))
+    cand = _pq_adc_scored(codes_df.join(members, id_col), base,
+                          qrows, tabs, ntab, id_col, probes=probes)
+    out = _two_phase_topk(cand, k, id_col, shards)
     return cache.register(out, scored, base)

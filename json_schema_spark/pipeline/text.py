@@ -599,7 +599,7 @@ def bm25_topk(df: DataFrame, query_terms: List[str], n: int = 100,
 
     score = None
     for i, t in enumerate(terms):
-        dft = int(stats[f"df{i}"])
+        dft = int(stats[f"df{i}"] or 0)   # all-NULL text: df is NULL
         idf = math.log(1.0 + ((n_docs - dft) + 0.5) / (dft + 0.5))
         tf = tf_col(t).cast("double")
         part = (F.lit(idf)

@@ -81,3 +81,27 @@ def test_bpe_encode_stats_drops_empty_docs(spark):
     d = _docs(spark, ["ab ab", "", "café"])
     got = {r["doc_id"] for r in text.bpe_encode_stats(d, n_merges=1).collect()}
     assert got == {0}
+
+
+def test_bpe_encode_oracle_parity_past_exhaustion(spark):
+    """Regression (review finding): when merges exhaust before n_merges,
+    the oracle's round CTEs must CARRY the vocab state (LEFT JOIN ON TRUE
+    against the empty argmax), not empty it — Spark's early break keeps
+    the last state and the per-doc sums must still match."""
+    import duckdb
+
+    from __spark_entry__ import _bpe_encode_oracle, _bpe_oracle
+
+    rows = [(0, "abc abc"), (1, "ab")]
+    d = _docs(spark, [t for _, t in rows])
+    con = duckdb.connect()
+    con.sql("CREATE VIEW documents AS SELECT * FROM (VALUES (0,'abc abc'),"
+            "(1,'ab')) t(doc_id, text)")
+
+    merges = [(r["merge_rank"], r["lhs"], r["rhs"], r["pair_count"])
+              for r in text.bpe_train(d, n_merges=10).collect()]
+    assert merges == con.sql(_bpe_oracle(10)).fetchall()
+
+    got = sorted((r["doc_id"], r["n_bpe_tokens"], r["n_chars"])
+                 for r in text.bpe_encode_stats(d, n_merges=10).collect())
+    assert got == sorted(con.sql(_bpe_encode_oracle(10)).fetchall())

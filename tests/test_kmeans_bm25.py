@@ -95,8 +95,7 @@ def test_bm25_matches_python_reference(spark):
 
     # from-scratch reference (plain Python floats, same formula)
     toks = {d: t.split() for d, t in corpus if t is not None}
-    n_docs = len(corpus) - 1  # NULL text row still counts in N? no:
-    # count(lit(1)) over the frame counts ALL rows incl. NULL text
+    # NULL-text rows DO count in N: the stats pass is count(lit(1))
     n_docs = len(corpus)
     dls = {d: len(tk) for d, tk in toks.items()}
     avgdl = sum(dls.values()) / n_docs
@@ -128,3 +127,10 @@ def test_bm25_limit_and_tiebreak(spark):
 def test_bm25_rejects_empty_query(spark):
     with pytest.raises(ValueError):
         text.bm25_topk(_docs(spark, [(1, "x")]), [])
+
+
+def test_bm25_all_null_text(spark):
+    # review finding: per-term df aggregates are NULL over an all-NULL
+    # corpus; the guard must treat them as 0 instead of raising
+    d = _docs(spark, [(1, None), (2, None)])
+    assert text.bm25_topk(d, ["x"], n=5).collect() == []

@@ -129,8 +129,6 @@ def test_ivfpq_candidates_respect_probes(spark):
                                    nprobe=2, m=4, k_sub=8, n_iters=1)
     got = pruned.collect()
     assert got
-    _, assign, _ = similarity.ivf_assignments(emb, 6)
-    cell = {r["vec_id"]: r["cid"] for r in assign.collect()}
     # own-cone neighbors still dominate (probing keeps the right lists)
     same = sum(1 for r in got if r["query_id"] // 100 == r["neighbor_id"] // 100)
     assert same >= len(got) * 0.8, got
@@ -147,3 +145,23 @@ def test_ivfpq_partitioning_invariant(spark):
                               k_sub=4, n_iters=1)
     assert sorted(tuple(r) for r in a.collect()) == \
         sorted(tuple(r) for r in b.collect())
+
+
+def test_pq_topk_string_ids(spark):
+    # ids are opaque: the broadcast query frame must copy the corpus id
+    # type instead of hardcoding bigint (review finding)
+    rows = [(f"doc-{i}", [math.sin(i * 0.7 + d) for d in range(8)])
+            for i in range(30)]
+    df = spark.createDataFrame(rows, "vec_id string, embedding array<float>")
+    out = similarity.pq_topk(df, k=3, n_queries=2, m=2, k_sub=4,
+                             n_iters=1).collect()
+    assert out and all(isinstance(r["query_id"], str) for r in out)
+    out2 = similarity.ivfpq_topk(df, k=3, n_queries=2, n_cells=4, nprobe=2,
+                                 m=2, k_sub=4, n_iters=1).collect()
+    assert out2 and all(isinstance(r["neighbor_id"], str) for r in out2)
+
+
+def test_pq_rejects_zero_queries(spark):
+    rows = [(1, [1.0, 0.0]), (2, [0.5, 0.5])]
+    with pytest.raises(ValueError, match="n_queries"):
+        similarity.pq_topk(_vecs(spark, rows), n_queries=0, m=1, k_sub=2)
