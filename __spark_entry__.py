@@ -1025,6 +1025,16 @@ def q_bpe_token_stats(spark, sf_dir):
     return text_ops.bpe_encode_stats(d, n_merges=12)
 
 
+def q_bigram_nll(spark, sf_dir):
+    """Perplexity-style LM quality scoring (text.bigram_nll): per-doc
+    average negative log-likelihood under an add-1 bigram LM trained on
+    the English sub-corpus (CCNet shape: trusted-domain LM scores the
+    whole crawl; cross-language docs land in the high-nll tail). glibc-ln
+    micro-nat lattice -> exact integer sums; oracle hash-matches."""
+    d = _t(spark, sf_dir, "documents")
+    return text_ops.bigram_nll(d, reference=d.where(F.col("lang") == "en"))
+
+
 def q_asof_click_before_purchase(spark, sf_dir):
     """As-of join: each purchase event picks up the most recent click value
     at-or-before its timestamp for the same user (union + running-last
@@ -1221,6 +1231,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivfpq_topk": q_ivfpq_topk,
         "bpe_merges": q_bpe_merges,
         "bpe_token_stats": q_bpe_token_stats,
+        "bigram_nll": q_bigram_nll,
         "dsir_weights": q_dsir_weights,
         "dsir_sample": q_dsir_sample,
         "split_leakage": q_split_leakage,
@@ -2330,6 +2341,61 @@ def _bpe_encode_oracle(n_merges: int = 12) -> str:
     """
 
 
+def _bigram_nll_oracle(alpha: float = 1.0) -> str:
+    """DuckDB replica of text.bigram_nll with reference = lang='en':
+    identical tokenization (lower/trim/regex split), the same posexplode-
+    adjacent bigram enumeration, add-alpha ln terms in ONE expression
+    shape over exact integer counts (glibc ln == math.log), micro-nat
+    round-half-away quantization (DuckDB round() IS half-away — the
+    dsir_weights precedent), exact integer per-doc sums, and the same
+    two-division tail."""
+    a = float(alpha)
+    return f"""
+        WITH tok AS (
+            SELECT doc_id, lang,
+                   string_split_regex(lower(trim(text)), '\\s+') AS tk
+            FROM documents
+        ),
+        dp AS (
+            SELECT doc_id, tk[i] AS w1, tk[i + 1] AS w2
+            FROM (SELECT doc_id, tk, unnest(range(1, len(tk))) AS i
+                  FROM tok WHERE len(tk) >= 2)
+        ),
+        dbc AS (
+            SELECT doc_id, w1, w2, CAST(count(*) AS BIGINT) AS c
+            FROM dp GROUP BY doc_id, w1, w2
+        ),
+        ru AS (
+            SELECT w, CAST(count(*) AS BIGINT) AS cu
+            FROM (SELECT unnest(tk) AS w FROM tok WHERE lang = 'en')
+            GROUP BY w
+        ),
+        rb AS (
+            SELECT tk[i] AS w1, tk[i + 1] AS w2,
+                   CAST(count(*) AS BIGINT) AS cb
+            FROM (SELECT tk, unnest(range(1, len(tk))) AS i
+                  FROM tok WHERE lang = 'en' AND len(tk) >= 2)
+            GROUP BY 1, 2
+        ),
+        vv AS (SELECT CAST(count(*) AS DOUBLE) AS v FROM ru),
+        tm AS (
+            SELECT k.w1, k.w2,
+                   CAST(round(ln((CAST(coalesce(rb.cb, 0) AS DOUBLE) + {a!r})
+                        / (CAST(coalesce(ru.cu, 0) AS DOUBLE)
+                           + ({a!r} * vv.v))) * 1e9) AS BIGINT) AS micro
+            FROM (SELECT DISTINCT w1, w2 FROM dbc) k
+            LEFT JOIN rb USING (w1, w2)
+            LEFT JOIN ru ON ru.w = k.w1
+            CROSS JOIN vv
+        )
+        SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+               (CAST(sum(c * micro) AS DOUBLE) / -1000000000.0)
+               / CAST(sum(c) AS DOUBLE) AS avg_nll
+        FROM dbc JOIN tm USING (w1, w2)
+        GROUP BY doc_id
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "validate_verdicts": f"SELECT doc_id, {_VALID_COND} AS is_valid FROM documents",
@@ -3030,6 +3096,7 @@ def oracle_sql() -> dict[str, str]:
         "ivfpq_topk": _pq_oracle(n_cells=16, nprobe=4),
         "bpe_merges": _bpe_oracle(),
         "bpe_token_stats": _bpe_encode_oracle(),
+        "bigram_nll": _bigram_nll_oracle(),
         "dsir_weights": _dsir_oracle(),
         "dsir_sample": _dsir_sample_oracle(),
         "split_leakage": _split_leakage_oracle(),

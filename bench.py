@@ -84,6 +84,7 @@ BENCH_QUERIES = [
     "ivfpq_topk",
     "bpe_merges",
     "bpe_token_stats",
+    "bigram_nll",
 ]
 
 

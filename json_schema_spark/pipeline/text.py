@@ -772,3 +772,93 @@ def bpe_encode_stats(df: DataFrame, n_merges: int = 10,
            .agg(F.sum("n_tok").alias("n_bpe_tokens"),
                 F.sum("n_chr").alias("n_chars")))
     return cache.register(out, vocab)
+
+
+def bigram_nll(df: DataFrame, reference: Optional[DataFrame] = None,
+               alpha: float = 1.0, text_col: str = "text",
+               id_col: str = "doc_id") -> DataFrame:
+    """Perplexity-style LM quality scoring → (id, n_bigrams, avg_nll):
+    each document's average negative log-likelihood under an add-``alpha``
+    smoothed bigram language model trained on ``reference`` (CCNet's
+    perplexity filtering, Wenzek et al. 2020 — LM trained on a trusted
+    domain, low avg_nll ≈ fluent text; completes the model-based-filter
+    triad next to classifier_score and dsir_weights). ``reference``
+    defaults to the corpus itself.
+
+    Model: p(w2|w1) = (c(w1,w2)+α) / (c(w1)+α·V), V = reference vocab
+    size; avg_nll = −Σ ln p / n_bigrams. Unseen words/bigrams smooth
+    through the same formula with zero counts.
+
+    Determinism (the oracle hash-matches): per-bigram ln terms use glibc
+    ``math.log`` over exact integer counts (bit-identical to DuckDB
+    ``ln``) in ONE expression shape, quantized to integer micro-nats
+    (×1e9, round half away from zero — the dsir_weights recipe), so the
+    per-document aggregation is an EXACT integer sum under any
+    partitioning; the two divisions back to nats happen once per output
+    row.
+
+    Scale shape: bigram generation is row-local codegen (posexplode +
+    element_at, no HOFs); per-(doc, bigram) counts are one map-side-
+    combined shuffle; the ln pass runs over the MODEL-sized distinct-
+    bigram table, never the corpus; reference passes are bounded by the
+    reference (typically a domain sample — its count tables broadcast).
+    Documents with fewer than two tokens have no bigrams and yield no
+    row. At extreme vocabularies swap the word keys for the dsir hashing
+    trick to bound the model tables."""
+    import math
+
+    import pandas as pd  # noqa: F401  (pandas_udf runtime dep)
+
+    from . import cache
+
+    ref = reference if reference is not None else df
+
+    def _pairs(frame):
+        tk = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+        return (frame
+                .select(F.col(id_col), tk.alias("tk"))
+                .select(id_col, "tk",
+                        F.posexplode("tk").alias("j", "w1"))
+                .where(F.col("j") < F.size("tk") - 1)
+                .select(id_col, "w1",
+                        F.element_at("tk", F.col("j") + 2).alias("w2")))
+
+    def _words(frame):
+        tk = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+        return frame.select(F.explode(tk).alias("w"))
+
+    dbc = (_pairs(df).groupBy(id_col, "w1", "w2")
+           .agg(F.count(F.lit(1)).alias("c")).persist())
+    ru = _words(ref).groupBy("w").agg(F.count(F.lit(1)).alias("cu")).persist()
+    rb = _pairs(ref).groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cb"))
+
+    v_size = ru.count()
+    if v_size == 0:
+        raise ValueError("bigram_nll: empty reference vocabulary")
+    a = float(alpha)
+    a_v = a * v_size
+
+    @F.pandas_udf("bigint")
+    def term_micro(cb_s, cu_s):
+        out = []
+        for cb, cu in zip(cb_s.tolist(), cu_s.tolist()):
+            v = math.log((cb + a) / (cu + a_v)) * 1e9
+            out.append(int(math.floor(v + 0.5)) if v >= 0
+                       else int(math.ceil(v - 0.5)))
+        return pd.Series(out)
+
+    terms = (dbc.select("w1", "w2").distinct()
+             .join(rb, ["w1", "w2"], "left")
+             .join(ru.withColumnRenamed("w", "w1"), "w1", "left")
+             .select("w1", "w2",
+                     term_micro(F.coalesce(F.col("cb"), F.lit(0)),
+                                F.coalesce(F.col("cu"), F.lit(0)))
+                     .alias("micro")))
+
+    out = (dbc.join(terms, ["w1", "w2"])
+           .groupBy(id_col)
+           .agg(F.sum("c").alias("n_bigrams"),
+                ((F.sum(F.col("c") * F.col("micro")).cast("double")
+                  / F.lit(-1e9))
+                 / F.sum("c").cast("double")).alias("avg_nll")))
+    return cache.register(out, dbc, ru)

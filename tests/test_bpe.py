@@ -105,3 +105,64 @@ def test_bpe_encode_oracle_parity_past_exhaustion(spark):
     got = sorted((r["doc_id"], r["n_bpe_tokens"], r["n_chars"])
                  for r in text.bpe_encode_stats(d, n_merges=10).collect())
     assert got == sorted(con.sql(_bpe_encode_oracle(10)).fetchall())
+
+
+# --- bigram_nll (shares this module's constructed-corpus style) ---------
+
+
+def test_bigram_nll_matches_python_reference(spark):
+    import math
+
+    corpus = [(1, "the cat sat"), (2, "the cat ran"), (3, "xyz qqq zzz")]
+    d = _docs_ids(spark, corpus)
+    got = {r["doc_id"]: (r["n_bigrams"], r["avg_nll"])
+           for r in text.bigram_nll(d).collect()}
+
+    toks = {i: t.lower().split() for i, t in corpus}
+    uni, bi = {}, {}
+    for tk in toks.values():
+        for w in tk:
+            uni[w] = uni.get(w, 0) + 1
+        for a, b in zip(tk, tk[1:]):
+            bi[(a, b)] = bi.get((a, b), 0) + 1
+    v = float(len(uni))
+    exp = {}
+    for i, tk in toks.items():
+        micros = []
+        for a, b in zip(tk, tk[1:]):
+            val = math.log((bi.get((a, b), 0) + 1.0) / (uni[a] + 1.0 * v)) * 1e9
+            micros.append(int(math.floor(val + 0.5)) if val >= 0
+                          else int(math.ceil(val - 0.5)))
+        exp[i] = (len(micros), (sum(micros) / -1e9) / float(len(micros)))
+    assert got == exp
+
+
+def test_bigram_nll_reference_separates_domains(spark):
+    # LM trained on doc 1-2's domain: in-domain doc 4 scores lower nll
+    # than the out-of-domain doc 5
+    corpus = [(1, "the cat sat on the mat"), (2, "the cat ran to the mat"),
+              (4, "the cat sat"), (5, "zzz qqq www")]
+    d = _docs_ids(spark, corpus)
+    ref = d.where("doc_id <= 2")
+    got = {r["doc_id"]: r["avg_nll"] for r in text.bigram_nll(d, ref).collect()}
+    assert got[4] < got[5]
+
+
+def test_bigram_nll_short_docs_yield_no_row(spark):
+    d = _docs_ids(spark, [(1, "single"), (2, ""), (3, None),
+                          (4, "two tokens")])
+    assert {r["doc_id"] for r in text.bigram_nll(d).collect()} == {4}
+
+
+def test_bigram_nll_partitioning_invariant(spark):
+    corpus = [(i, f"tok{i % 4} tok{(i + 1) % 3} tok{i % 5} shared")
+              for i in range(30)]
+    a = sorted(tuple(r) for r in text.bigram_nll(
+        _docs_ids(spark, corpus).repartition(1)).collect())
+    b = sorted(tuple(r) for r in text.bigram_nll(
+        _docs_ids(spark, corpus).repartition(11, "doc_id")).collect())
+    assert a == b
+
+
+def _docs_ids(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, text string")

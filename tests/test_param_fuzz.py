@@ -434,8 +434,8 @@ def test_fuzz_model_family(spark, fuzz_dir, fuzz_duck, seed):
 def test_fuzz_tokenizer_family(spark, fuzz_dir, fuzz_duck, seed):
     """BPE + BM25 off the golden path: random merge counts, query terms,
     result sizes, and k1/b, oracle SQL regenerated per draw."""
-    from __spark_entry__ import (_bm25_oracle, _bpe_encode_oracle,
-                                 _bpe_oracle)
+    from __spark_entry__ import (_bigram_nll_oracle, _bm25_oracle,
+                                 _bpe_encode_oracle, _bpe_oracle)
 
     rng = random.Random(seed)
     docs = _docs(spark, fuzz_dir)
@@ -456,3 +456,10 @@ def test_fuzz_tokenizer_family(spark, fuzz_dir, fuzz_duck, seed):
     _check(text_ops.bm25_topk(docs, terms, n=n, k1=k1, b=b), fuzz_duck,
            _bm25_oracle(terms, n=n, k1=k1, b=b),
            f"bm25 seed={seed} terms={terms} n={n} k1={k1} b={b}")
+
+    alpha = rng.choice([0.25, 0.5, 1.0, 2.0])
+    out = text_ops.bigram_nll(docs, docs.where(F.col("lang") == "en"),
+                              alpha=alpha)
+    _check(out, fuzz_duck, _bigram_nll_oracle(alpha),
+           f"bigram_nll seed={seed} alpha={alpha}")
+    cache.release(out)
