@@ -1035,6 +1035,15 @@ def q_bigram_nll(spark, sf_dir):
     return text_ops.bigram_nll(d, reference=d.where(F.col("lang") == "en"))
 
 
+def q_tfidf_terms(spark, sf_dir):
+    """Per-doc keyword extraction (text.tfidf_topk_terms): top-5 terms by
+    tf x micro-nat idf — the ranking is pure bigint (glibc-ln idf on the
+    dsir lattice, once per distinct term), so the oracle hash-matches
+    with no float anywhere in the ordering."""
+    d = _t(spark, sf_dir, "documents")
+    return text_ops.tfidf_topk_terms(d, j=5)
+
+
 def q_asof_click_before_purchase(spark, sf_dir):
     """As-of join: each purchase event picks up the most recent click value
     at-or-before its timestamp for the same user (union + running-last
@@ -1232,6 +1241,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_merges": q_bpe_merges,
         "bpe_token_stats": q_bpe_token_stats,
         "bigram_nll": q_bigram_nll,
+        "tfidf_terms": q_tfidf_terms,
         "dsir_weights": q_dsir_weights,
         "dsir_sample": q_dsir_sample,
         "split_leakage": q_split_leakage,
@@ -2396,6 +2406,37 @@ def _bigram_nll_oracle(alpha: float = 1.0) -> str:
     """
 
 
+def _tfidf_oracle(j: int = 5) -> str:
+    """DuckDB replica of text.tfidf_topk_terms: same tokenization and
+    (doc, term) counts, micro-nat idf per distinct term (glibc ln over
+    exact (N, df); round() is half-away like the Python idiom), exact
+    bigint scores, (score desc, term) ranks."""
+    return f"""
+        WITH wc AS (
+            SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+            FROM (SELECT doc_id, unnest(string_split_regex(lower(trim(text)),
+                       '\\s+')) AS term FROM documents)
+            WHERE term <> ''
+            GROUP BY doc_id, term
+        ),
+        nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+        dfreq AS (
+            SELECT term,
+                   CAST(round((ln((nn.n + 1.0)
+                        / (CAST(count(*) AS DOUBLE) + 1.0)) + 1.0) * 1e9)
+                        AS BIGINT) AS idf
+            FROM wc CROSS JOIN nn
+            GROUP BY term, nn.n
+        )
+        SELECT doc_id, term, rank, score_micro FROM (
+            SELECT wc.doc_id, wc.term, wc.tf * d.idf AS score_micro,
+                   row_number() OVER (PARTITION BY wc.doc_id
+                       ORDER BY wc.tf * d.idf DESC, wc.term) AS rank
+            FROM wc JOIN dfreq d USING (term)
+        ) WHERE rank <= {j}
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "validate_verdicts": f"SELECT doc_id, {_VALID_COND} AS is_valid FROM documents",
@@ -3097,6 +3138,7 @@ def oracle_sql() -> dict[str, str]:
         "bpe_merges": _bpe_oracle(),
         "bpe_token_stats": _bpe_encode_oracle(),
         "bigram_nll": _bigram_nll_oracle(),
+        "tfidf_terms": _tfidf_oracle(),
         "dsir_weights": _dsir_oracle(),
         "dsir_sample": _dsir_sample_oracle(),
         "split_leakage": _split_leakage_oracle(),

@@ -85,6 +85,7 @@ BENCH_QUERIES = [
     "bpe_merges",
     "bpe_token_stats",
     "bigram_nll",
+    "tfidf_terms",
 ]
 
 

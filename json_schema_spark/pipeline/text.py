@@ -862,3 +862,57 @@ def bigram_nll(df: DataFrame, reference: Optional[DataFrame] = None,
                   / F.lit(-1e9))
                  / F.sum("c").cast("double")).alias("avg_nll")))
     return cache.register(out, dbc, ru)
+
+
+def tfidf_topk_terms(df: DataFrame, j: int = 5, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Per-document keyword extraction → (id, term, rank, score_micro):
+    the top-``j`` terms by tf·idf (smoothed idf = ln((N+1)/(df+1)) + 1) —
+    the tagging/routing primitive a corpus pipeline runs before topic
+    bucketing or retrieval indexing.
+
+    Fully integer ranking: idf is quantized to micro-nats once per
+    DISTINCT term (glibc ``math.log`` over exact integer (N, df), the
+    dsir_weights lattice), so score = tf · idf_micro is an exact bigint
+    and the (score desc, term asc) order is engine-exact with no float
+    anywhere — the oracle hash-matches trivially.
+
+    Scale shape: one explode + map-side-combined (doc, term) count
+    shuffle; the document-frequency and idf passes run over the DISTINCT
+    vocab only; the per-doc window is bounded by document length (never
+    a hot-key risk). NULL/empty documents contribute no terms and yield
+    no rows."""
+    import math
+
+    import pandas as pd  # noqa: F401  (pandas_udf runtime dep)
+
+    from pyspark.sql import Window
+
+    from . import cache
+
+    tk = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    wc = (df.select(F.col(id_col), F.explode(tk).alias("term"))
+          .where(F.col("term") != "")
+          .groupBy(id_col, "term")
+          .agg(F.count(F.lit(1)).alias("tf")).persist())
+    n_docs = df.count()
+
+    @F.pandas_udf("bigint")
+    def idf_micro(df_s):
+        out = []
+        for dfw in df_s.tolist():
+            v = (math.log((n_docs + 1.0) / (dfw + 1.0)) + 1.0) * 1e9
+            out.append(int(math.floor(v + 0.5)) if v >= 0
+                       else int(math.ceil(v - 0.5)))
+        return pd.Series(out)
+
+    dfreq = (wc.groupBy("term").agg(F.count(F.lit(1)).alias("dfw"))
+             .select("term", idf_micro(F.col("dfw")).alias("idf")))
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("score_micro").desc(), "term")
+    out = (wc.join(dfreq, "term")
+           .withColumn("score_micro", F.col("tf") * F.col("idf"))
+           .withColumn("rank", F.row_number().over(w))
+           .where(F.col("rank") <= j)
+           .select(id_col, "term", "rank", "score_micro"))
+    return cache.register(out, wc)

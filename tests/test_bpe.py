@@ -166,3 +166,26 @@ def test_bigram_nll_partitioning_invariant(spark):
 
 def _docs_ids(spark, rows):
     return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_tfidf_ranks_rare_terms_first(spark):
+    # 'rare' appears in one doc only; 'common' in all -> within doc 1,
+    # equal tf but higher idf puts 'rare' first
+    corpus = [(1, "rare common common rare rare"),
+              (2, "common stuff"), (3, "common other")]
+    out = text.tfidf_topk_terms(_docs_ids(spark, corpus), j=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append((r["rank"], r["term"]))
+    assert sorted(by_doc[1])[0] == (1, "rare")
+    # integer scores, no floats
+    assert all(isinstance(r["score_micro"], int) for r in out)
+
+
+def test_tfidf_skips_empty_docs_and_breaks_ties(spark):
+    corpus = [(1, "b a"), (2, ""), (3, None)]
+    out = text.tfidf_topk_terms(_docs_ids(spark, corpus), j=5).collect()
+    assert {r["doc_id"] for r in out} == {1}
+    # equal tf and idf: lexicographic term tie-break
+    assert [(r["rank"], r["term"]) for r in sorted(out, key=lambda r: r["rank"])] \
+        == [(1, "a"), (2, "b")]

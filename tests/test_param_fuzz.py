@@ -435,7 +435,8 @@ def test_fuzz_tokenizer_family(spark, fuzz_dir, fuzz_duck, seed):
     """BPE + BM25 off the golden path: random merge counts, query terms,
     result sizes, and k1/b, oracle SQL regenerated per draw."""
     from __spark_entry__ import (_bigram_nll_oracle, _bm25_oracle,
-                                 _bpe_encode_oracle, _bpe_oracle)
+                                 _bpe_encode_oracle, _bpe_oracle,
+                                 _tfidf_oracle)
 
     rng = random.Random(seed)
     docs = _docs(spark, fuzz_dir)
@@ -462,4 +463,9 @@ def test_fuzz_tokenizer_family(spark, fuzz_dir, fuzz_duck, seed):
                               alpha=alpha)
     _check(out, fuzz_duck, _bigram_nll_oracle(alpha),
            f"bigram_nll seed={seed} alpha={alpha}")
+    cache.release(out)
+
+    j = rng.randrange(2, 7)
+    out = text_ops.tfidf_topk_terms(docs, j=j)
+    _check(out, fuzz_duck, _tfidf_oracle(j), f"tfidf seed={seed} j={j}")
     cache.release(out)
