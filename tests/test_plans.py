@@ -314,3 +314,26 @@ def test_ivfpq_probe_filter_precedes_scoring(spark):
     assert "array_contains" in plan, plan
     assert "BroadcastExchange" in plan, plan
     assert "Exchange rangepartitioning" not in plan, plan
+
+
+def test_bigram_nll_prunes_scans_no_global_sort(spark):
+    """Perplexity scoring must read only (id, text) / (text, lang) from
+    the corpus scans and never range-partition; the ln pass is Arrow on
+    the model-sized table, not the corpus."""
+    from json_schema_spark.pipeline import text
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    df = text.bigram_nll(docs, reference=docs.where("lang = 'en'"))
+    plan = _plan(df)
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan, plan
+    assert "ReadSchema: struct<text:string,lang:string>" in plan, plan
+    assert "Exchange rangepartitioning" not in plan, plan
+
+
+def test_tfidf_prunes_scan_no_global_sort(spark):
+    from json_schema_spark.pipeline import text
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = _plan(text.tfidf_topk_terms(docs, j=3))
+    assert "Exchange rangepartitioning" not in plan, plan
+    assert "BroadcastExchange" in plan or "BroadcastHashJoin" in plan, plan
