@@ -1044,6 +1044,15 @@ def q_tfidf_terms(spark, sf_dir):
     return text_ops.tfidf_topk_terms(d, j=5)
 
 
+def q_char_entropy(spark, sf_dir):
+    """Character-distribution entropy (text.char_entropy): the junk/
+    binary/padding detector next to the Gopher rules. Both ln families
+    are micro-nat quantized once per DISTINCT count value, so per-doc
+    sums are exact integers and the oracle hash-matches."""
+    d = _t(spark, sf_dir, "documents")
+    return text_ops.char_entropy(d)
+
+
 def q_asof_click_before_purchase(spark, sf_dir):
     """As-of join: each purchase event picks up the most recent click value
     at-or-before its timestamp for the same user (union + running-last
@@ -1242,6 +1251,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_token_stats": q_bpe_token_stats,
         "bigram_nll": q_bigram_nll,
         "tfidf_terms": q_tfidf_terms,
+        "char_entropy": q_char_entropy,
         "dsir_weights": q_dsir_weights,
         "dsir_sample": q_dsir_sample,
         "split_leakage": q_split_leakage,
@@ -2437,6 +2447,45 @@ def _tfidf_oracle(j: int = 5) -> str:
     """
 
 
+def _char_entropy_oracle() -> str:
+    """DuckDB replica of text.char_entropy: identical char split (Spark
+    split(text, '') == string_split(text, '') on this ASCII corpus),
+    micro-nat ln per distinct count value (round() is half-away, the
+    Python idiom's twin), exact integer sums, the same two-IEEE-op
+    tail."""
+    return """
+        WITH cc AS (
+            SELECT doc_id, ch, CAST(count(*) AS BIGINT) AS c
+            FROM (SELECT doc_id, unnest(string_split(text, '')) AS ch
+                  FROM documents)
+            WHERE ch <> ''
+            GROUP BY doc_id, ch
+        ),
+        lnc AS (
+            SELECT c, CAST(round(ln(CAST(c AS DOUBLE)) * 1e9) AS BIGINT)
+                   AS mlc
+            FROM (SELECT DISTINCT c FROM cc)
+        ),
+        sums AS (
+            SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_chars,
+                   CAST(sum(c * mlc) AS BIGINT) AS s
+            FROM cc JOIN lnc USING (c)
+            GROUP BY doc_id
+        ),
+        lnn AS (
+            SELECT n_chars,
+                   CAST(round(ln(CAST(n_chars AS DOUBLE)) * 1e9) AS BIGINT)
+                   AS mln
+            FROM (SELECT DISTINCT n_chars FROM sums)
+        )
+        SELECT doc_id, n_chars,
+               (CAST(mln AS DOUBLE)
+                - (CAST(s AS DOUBLE) / CAST(n_chars AS DOUBLE))) / 1e9
+               AS entropy
+        FROM sums JOIN lnn USING (n_chars)
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "validate_verdicts": f"SELECT doc_id, {_VALID_COND} AS is_valid FROM documents",
@@ -3139,6 +3188,7 @@ def oracle_sql() -> dict[str, str]:
         "bpe_token_stats": _bpe_encode_oracle(),
         "bigram_nll": _bigram_nll_oracle(),
         "tfidf_terms": _tfidf_oracle(),
+        "char_entropy": _char_entropy_oracle(),
         "dsir_weights": _dsir_oracle(),
         "dsir_sample": _dsir_sample_oracle(),
         "split_leakage": _split_leakage_oracle(),

@@ -86,6 +86,7 @@ BENCH_QUERIES = [
     "bpe_token_stats",
     "bigram_nll",
     "tfidf_terms",
+    "char_entropy",
 ]
 
 

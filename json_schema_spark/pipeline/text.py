@@ -916,3 +916,60 @@ def tfidf_topk_terms(df: DataFrame, j: int = 5, text_col: str = "text",
            .where(F.col("rank") <= j)
            .select(id_col, "term", "rank", "score_micro"))
     return cache.register(out, wc)
+
+
+def char_entropy(df: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id") -> DataFrame:
+    """Per-document character-distribution Shannon entropy →
+    (id, n_chars, entropy) in nats — the junk detector quality pipelines
+    run next to the Gopher rules: binary blobs, key-mash, and
+    repeated-character padding sit far outside natural text's ~2.9–3.3
+    nat band (natural text ≈ low entropy relative to random bytes, high
+    relative to 'aaaa…').
+
+    Exactness: entropy = ln n − (Σ c·ln c)/n over the per-(doc, char)
+    counts. Both ln families are computed ONCE PER DISTINCT COUNT VALUE
+    (a tiny domain — counts and doc lengths, not corpus rows) with glibc
+    ``math.log`` quantized to integer micro-nats, so Σ c·ln c is an
+    EXACT bigint under any partitioning and the final expression is two
+    IEEE ops on exact inputs — the oracle hash-matches.
+
+    Scale shape: the char explode is row-local (fan-out = document
+    length, the same cost any per-char op pays); per-(doc, char) counts
+    map-side combine; both ln passes run over distinct-value tables that
+    broadcast. NULL/empty documents yield no row."""
+    import math
+
+    import pandas as pd  # noqa: F401  (pandas_udf runtime dep)
+
+    from . import cache
+
+    @F.pandas_udf("bigint")
+    def ln_micro(x_s):
+        out = []
+        for x in x_s.tolist():
+            v = math.log(x) * 1e9
+            out.append(int(math.floor(v + 0.5)) if v >= 0
+                       else int(math.ceil(v - 0.5)))
+        return pd.Series(out)
+
+    cc = (df.select(F.col(id_col),
+                    F.explode(F.split(F.col(text_col), "")).alias("ch"))
+          .where(F.col("ch") != "")
+          .groupBy(id_col, "ch")
+          .agg(F.count(F.lit(1)).alias("c")).persist())
+    lnc = (cc.select("c").distinct()
+           .select("c", ln_micro(F.col("c")).alias("mlc")))
+    sums = (cc.join(F.broadcast(lnc), "c")
+            .groupBy(id_col)
+            .agg(F.sum("c").alias("n_chars"),
+                 F.sum(F.col("c") * F.col("mlc")).alias("s")))
+    lnn = (sums.select("n_chars").distinct()
+           .select("n_chars", ln_micro(F.col("n_chars")).alias("mln")))
+    out = (sums.join(F.broadcast(lnn), "n_chars")
+           .select(id_col, "n_chars",
+                   ((F.col("mln").cast("double")
+                     - (F.col("s").cast("double")
+                        / F.col("n_chars").cast("double")))
+                    / F.lit(1e9)).alias("entropy")))
+    return cache.register(out, cc)

@@ -8,6 +8,8 @@ self-overlapping runs, lexicographic tie-breaks, early exhaustion, the
 ASCII filter, and partitioning invariance.
 """
 
+import pytest
+
 from json_schema_spark.pipeline import text
 
 
@@ -189,3 +191,28 @@ def test_tfidf_skips_empty_docs_and_breaks_ties(spark):
     # equal tf and idf: lexicographic term tie-break
     assert [(r["rank"], r["term"]) for r in sorted(out, key=lambda r: r["rank"])] \
         == [(1, "a"), (2, "b")]
+
+
+def test_char_entropy_known_values(spark):
+    import math
+
+    corpus = [(1, "aaaaaaaa"), (2, "abababab"), (3, "abcdefgh"),
+              (4, ""), (5, None)]
+    got = {r["doc_id"]: (r["n_chars"], r["entropy"])
+           for r in text.char_entropy(_docs_ids(spark, corpus)).collect()}
+    assert set(got) == {1, 2, 3}
+    assert got[1] == (8, 0.0)                              # one symbol
+    assert got[2][1] == pytest.approx(math.log(2), abs=1e-8)
+    assert got[3][1] == pytest.approx(math.log(8), abs=1e-8)
+    # padding scores far below diverse text — the filter signal
+    assert got[1][1] < got[2][1] < got[3][1]
+
+
+def test_char_entropy_partitioning_invariant(spark):
+    corpus = [(i, ("lorem ipsum dolor sit amet " * (i % 3 + 1))[:40 + i])
+              for i in range(24)]
+    a = sorted(tuple(r) for r in text.char_entropy(
+        _docs_ids(spark, corpus).repartition(1)).collect())
+    b = sorted(tuple(r) for r in text.char_entropy(
+        _docs_ids(spark, corpus).repartition(7, "doc_id")).collect())
+    assert a == b
