@@ -2046,7 +2046,7 @@ def _kmeans_oracle(k: int = 8, n_iters: int = 2, seed: int = 42) -> str:
                         CAST(vec_id AS VARCHAR))), 1, 15)) AS BIGINT) AS r
             FROM b
         ),
-        bb AS (SELECT * FROM bn WHERE nrm IS NOT NULL AND nrm > 0),
+        bb AS MATERIALIZED (SELECT * FROM bn WHERE nrm IS NOT NULL AND nrm > 0),
         cen0 AS (
             SELECT CAST(row_number() OVER (ORDER BY r, vec_id) AS INT) AS cid,
                    qv AS cv, nrm AS cn
@@ -2079,7 +2079,7 @@ def _kmeans_oracle(k: int = 8, n_iters: int = 2, seed: int = 42) -> str:
                   FROM g{i})
             GROUP BY cid
         ),
-        cen{i + 1} AS (
+        cen{i + 1} AS MATERIALIZED (
             SELECT o.cid, coalesce(n.cv, o.cv) AS cv, coalesce(n.cn, o.cn) AS cn
             FROM cen{i} o
             LEFT JOIN (SELECT * FROM n{i} WHERE cn > 0) n USING (cid)
@@ -2141,8 +2141,8 @@ def _pq_oracle(k: int = 10, n_queries: int = 8, m: int = 4,
                    CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS nrm
             FROM b
         ),
-        bb AS (SELECT * FROM bn WHERE nrm IS NOT NULL AND nrm > 0),
-        tr AS (
+        bb AS MATERIALIZED (SELECT * FROM bn WHERE nrm IS NOT NULL AND nrm > 0),
+        tr AS MATERIALIZED (
             SELECT * FROM bb
             WHERE ({md5i('pqtrain')} % 10000) < {cut}
         ),
@@ -2189,7 +2189,7 @@ def _pq_oracle(k: int = 10, n_queries: int = 8, m: int = 4,
                   FROM g{i}_{s})
             GROUP BY cid
         ),
-        cen{s}_{i + 1} AS (
+        cen{s}_{i + 1} AS MATERIALIZED (
             SELECT o.cid, coalesce(n.cv, o.cv) AS cv, coalesce(n.cn, o.cn) AS cn
             FROM cen{s}_{i} o
             LEFT JOIN (SELECT * FROM n{i}_{s} WHERE cn > 0) n USING (cid)
@@ -2198,7 +2198,7 @@ def _pq_oracle(k: int = 10, n_queries: int = 8, m: int = 4,
         dot = (f"CAST(list_sum(list_transform(range(1, {subdim} + 1), "
                f"j -> x.qv[{lo(s) - 1} + j] * c.cv[j])) AS BIGINT)")
         parts.append(f""",
-        code_{s} AS (
+        code_{s} AS MATERIALIZED (
             SELECT vec_id, cv AS v{s}, cn AS n{s} FROM (
                 SELECT x.vec_id, c.cv, c.cn,
                        row_number() OVER (PARTITION BY x.vec_id
