@@ -39,6 +39,18 @@ _MINHASH_COEFFS = [(a, b) for a, b in
                     (67867967, 19), (86028121, 23), (104395301, 29), (122949823, 31)]]
 
 
+def round_half_away(v: float) -> int:
+    """Round a float to the nearest int, halves away from zero — the
+    micro-nat lattice quantizer shared by every glibc-ln oracle-parity op
+    (dsir_weights, bigram_nll, tfidf, char_entropy). DuckDB's round()
+    has the same semantics; ANY drift here silently breaks hash parity
+    everywhere, so there is exactly one copy."""
+    import math
+
+    return (int(math.floor(v + 0.5)) if v >= 0
+            else int(math.ceil(v - 0.5)))
+
+
 def md5_int(col: F.Column) -> F.Column:
     """Portable 60-bit integer hash: the first 15 hex chars of md5.
     Identical in any engine with md5 + hex parsing."""

@@ -229,15 +229,14 @@ def dsir_weights(df: DataFrame, target: DataFrame, n_buckets: int = 65536,
     log_tgt_denom = math.log(d_tgt + a * B)
     log_raw_denom = math.log(d_raw + a * B)
 
+    from .dedup import round_half_away
+
     @F.pandas_udf("bigint")
     def lam_micro(ct_s, cr_s):
-        out = []
-        for c_t, c_r in zip(ct_s.tolist(), cr_s.tolist()):
-            v = ((math.log(c_t + a) - log_tgt_denom)
-                 - (math.log(c_r + a) - log_raw_denom)) * 1e9
-            out.append(int(math.floor(v + 0.5)) if v >= 0
-                       else int(math.ceil(v - 0.5)))
-        return pd.Series(out)
+        return pd.Series([round_half_away(
+            ((math.log(c_t + a) - log_tgt_denom)
+             - (math.log(c_r + a) - log_raw_denom)) * 1e9)
+            for c_t, c_r in zip(ct_s.tolist(), cr_s.tolist())])
 
     lam = (cr.join(ct, "bucket", "left")
            .select("bucket",

@@ -880,9 +880,11 @@ def pq_train_encode(embeddings: DataFrame, m: int = 4, k_sub: int = 16,
             .orderBy("r", id_col).limit(k_sub)
             .select("qv").collect())
     if not init:
+        base.unpersist()
         raise ValueError("pq_train_encode: no usable training vectors")
     dim = len(init[0]["qv"])
     if dim % m:
+        base.unpersist()
         raise ValueError(f"pq_train_encode: dim {dim} not divisible by m={m}")
     subdim = dim // m
 
@@ -988,6 +990,8 @@ def pq_topk(embeddings: DataFrame, k: int = 10, n_queries: int = 8,
     pipeline — sample, per-subspace Lloyd rounds, argmin codes, tables,
     ranks — and hash-matches. Rows whose reconstruction is the zero
     vector (an = 0, cosine undefined) are excluded on both sides."""
+    if n_queries < 1:
+        raise ValueError(f"pq: n_queries must be >= 1, got {n_queries}")
     codebooks, codes_df, base = pq_train_encode(
         embeddings, m, k_sub, n_iters, train_fraction,
         id_col, vec_col, q, seed)
@@ -1000,11 +1004,12 @@ def pq_topk(embeddings: DataFrame, k: int = 10, n_queries: int = 8,
 
 def _pq_queries(base, codebooks, n_queries, id_col, seed):
     """md5-sampled query vectors + their exact-integer ADC tables →
-    (query rows, per-query dot tables, shared norm table)."""
+    (query rows, per-query dot tables, shared norm table). Preconditions
+    (validated by the public entry points BEFORE anything persists):
+    n_queries >= 1; codebooks non-empty — with those, the md5 sample of
+    the non-empty base always yields at least one query row."""
     from .dedup import md5_int
 
-    if n_queries < 1:
-        raise ValueError(f"pq: n_queries must be >= 1, got {n_queries}")
     subdim = len(codebooks[0][0][0])
     m = len(codebooks)
     qrows = (base
@@ -1012,8 +1017,6 @@ def _pq_queries(base, codebooks, n_queries, id_col, seed):
                  F.lit(f"pqq_{seed}_"), F.col(id_col).cast("string"))))
              .orderBy("r", id_col).limit(n_queries)
              .select(id_col, "qv", "nrm").collect())
-    if not qrows:
-        raise ValueError("pq: no usable query vectors (empty corpus)")
     tabs = []
     for row in qrows:
         qv = [int(x) for x in row["qv"]]
@@ -1113,6 +1116,8 @@ def ivfpq_topk(embeddings: DataFrame, k: int = 10, n_queries: int = 8,
     tables end-to-end and hash-matches the scores."""
     from pyspark.sql import Window
 
+    if n_queries < 1:
+        raise ValueError(f"pq: n_queries must be >= 1, got {n_queries}")
     codebooks, codes_df, base = pq_train_encode(
         embeddings, m, k_sub, n_iters, train_fraction,
         id_col, vec_col, q, seed)

@@ -834,18 +834,19 @@ def bigram_nll(df: DataFrame, reference: Optional[DataFrame] = None,
 
     v_size = ru.count()
     if v_size == 0:
+        dbc.unpersist()
+        ru.unpersist()
         raise ValueError("bigram_nll: empty reference vocabulary")
     a = float(alpha)
     a_v = a * v_size
 
+    from .dedup import round_half_away
+
     @F.pandas_udf("bigint")
     def term_micro(cb_s, cu_s):
-        out = []
-        for cb, cu in zip(cb_s.tolist(), cu_s.tolist()):
-            v = math.log((cb + a) / (cu + a_v)) * 1e9
-            out.append(int(math.floor(v + 0.5)) if v >= 0
-                       else int(math.ceil(v - 0.5)))
-        return pd.Series(out)
+        return pd.Series([round_half_away(
+            math.log((cb + a) / (cu + a_v)) * 1e9)
+            for cb, cu in zip(cb_s.tolist(), cu_s.tolist())])
 
     terms = (dbc.select("w1", "w2").distinct()
              .join(rb, ["w1", "w2"], "left")
@@ -897,14 +898,13 @@ def tfidf_topk_terms(df: DataFrame, j: int = 5, text_col: str = "text",
           .agg(F.count(F.lit(1)).alias("tf")).persist())
     n_docs = df.count()
 
+    from .dedup import round_half_away
+
     @F.pandas_udf("bigint")
     def idf_micro(df_s):
-        out = []
-        for dfw in df_s.tolist():
-            v = (math.log((n_docs + 1.0) / (dfw + 1.0)) + 1.0) * 1e9
-            out.append(int(math.floor(v + 0.5)) if v >= 0
-                       else int(math.ceil(v - 0.5)))
-        return pd.Series(out)
+        return pd.Series([round_half_away(
+            (math.log((n_docs + 1.0) / (dfw + 1.0)) + 1.0) * 1e9)
+            for dfw in df_s.tolist()])
 
     dfreq = (wc.groupBy("term").agg(F.count(F.lit(1)).alias("dfw"))
              .select("term", idf_micro(F.col("dfw")).alias("idf")))
@@ -944,14 +944,12 @@ def char_entropy(df: DataFrame, text_col: str = "text",
 
     from . import cache
 
+    from .dedup import round_half_away
+
     @F.pandas_udf("bigint")
     def ln_micro(x_s):
-        out = []
-        for x in x_s.tolist():
-            v = math.log(x) * 1e9
-            out.append(int(math.floor(v + 0.5)) if v >= 0
-                       else int(math.ceil(v - 0.5)))
-        return pd.Series(out)
+        return pd.Series([round_half_away(math.log(x) * 1e9)
+                          for x in x_s.tolist()])
 
     cc = (df.select(F.col(id_col),
                     F.explode(F.split(F.col(text_col), "")).alias("ch"))
@@ -960,10 +958,12 @@ def char_entropy(df: DataFrame, text_col: str = "text",
           .agg(F.count(F.lit(1)).alias("c")).persist())
     lnc = (cc.select("c").distinct()
            .select("c", ln_micro(F.col("c")).alias("mlc")))
+    # sums feeds BOTH the lnn distinct pass and the final join — persist
+    # or the doc-count-sized aggregation runs twice per action
     sums = (cc.join(F.broadcast(lnc), "c")
             .groupBy(id_col)
             .agg(F.sum("c").alias("n_chars"),
-                 F.sum(F.col("c") * F.col("mlc")).alias("s")))
+                 F.sum(F.col("c") * F.col("mlc")).alias("s")).persist())
     lnn = (sums.select("n_chars").distinct()
            .select("n_chars", ln_micro(F.col("n_chars")).alias("mln")))
     out = (sums.join(F.broadcast(lnn), "n_chars")
@@ -972,4 +972,4 @@ def char_entropy(df: DataFrame, text_col: str = "text",
                      - (F.col("s").cast("double")
                         / F.col("n_chars").cast("double")))
                     / F.lit(1e9)).alias("entropy")))
-    return cache.register(out, cc)
+    return cache.register(out, cc, sums)
