@@ -410,7 +410,8 @@ def lsh_topk(embeddings: DataFrame, k: int = 5, planes: int = 8,
 def ivf_assignments(embeddings: DataFrame, n_centroids: int = 16,
                     id_col: str = "vec_id", vec_col: str = "embedding",
                     q: int = 1000, seed: int = 42,
-                    base: Optional[DataFrame] = None):
+                    base: Optional[DataFrame] = None,
+                    centroids: Optional[DataFrame] = None):
     """(centroid table, assignment table, scored crossJoin) for
     IVF-flat search.
 
@@ -423,11 +424,29 @@ def ivf_assignments(embeddings: DataFrame, n_centroids: int = 16,
     ``base`` short-circuits the quantization pass with an existing
     (id, qv, nrm) frame — composers that already paid the corpus scan
     (ivfpq_topk shares pq_train_encode's persisted frame) must not scan
-    it twice."""
+    it twice. ``centroids`` replaces the md5 sample with a TRAINED
+    centroid table (cid int, cv array<bigint>, cn bigint — exactly what
+    ``kmeans`` returns), turning every consumer (semantic_dedup,
+    prototypicality, ivf_topk) into its production variant with an
+    identical plan shape; n_centroids/seed are ignored then."""
     from pyspark.sql import Window
 
     if base is None:
         base = _quant_vecs(embeddings, id_col, vec_col, q, "qv", "nrm")
+
+    if centroids is not None:
+        cen = centroids.select("cid", "cv", "cn")
+        pc = _pair_cosine_udf()
+        scored = (base.crossJoin(F.broadcast(cen))
+                  .withColumn("ccos", pc(F.col("qv"), F.col("cv"),
+                                         F.col("nrm"), F.col("cn"))))
+        assign = (scored.groupBy(id_col)
+                  .agg(F.max_by(F.col("cid"),
+                                F.struct(F.col("ccos"),
+                                         -F.col("cid"))).alias("cid"),
+                       F.first("qv").alias("qv"),
+                       F.first("nrm").alias("nrm")))
+        return cen, assign, scored
 
     # top-k by hash, NOT a global row_number over the corpus: orderBy+limit
     # plans as TakeOrdered (per-partition top-k, tiny driver merge); the
@@ -455,7 +474,8 @@ def ivf_assignments(embeddings: DataFrame, n_centroids: int = 16,
 def ivf_topk(embeddings: DataFrame, k: int = 5, n_centroids: int = 16,
              nprobe: int = 4, id_col: str = "vec_id",
              vec_col: str = "embedding", q: int = 1000,
-             seed: int = 42) -> DataFrame:
+             seed: int = 42,
+             centroids: Optional[DataFrame] = None) -> DataFrame:
     """IVF-flat approximate top-k: coarse-quantize the corpus into
     ``n_centroids`` inverted lists, probe each query's ``nprobe`` nearest
     lists, exact-rerank the candidates. The scale shape: candidate fan-out
@@ -465,7 +485,8 @@ def ivf_topk(embeddings: DataFrame, k: int = 5, n_centroids: int = 16,
     from pyspark.sql import Window
 
     cen, assign, scored = ivf_assignments(embeddings, n_centroids, id_col,
-                                          vec_col, q, seed)
+                                          vec_col, q, seed,
+                                          centroids=centroids)
     # scored (the n×C coarse crossJoin) feeds BOTH the assignment aggregate
     # and the probe window: persist so the coarse scoring pass runs once —
     # round-2 VERDICT measured it running twice (What's wrong #6)
@@ -573,7 +594,8 @@ def semantic_dedup(embeddings: DataFrame, threshold: float = 0.9,
                    vec_col: str = "embedding", q: int = 1000,
                    seed: int = 42,
                    max_cluster_size: Optional[int] = 10000,
-                   max_iterations: int = 25) -> DataFrame:
+                   max_iterations: int = 25,
+                   centroids: Optional[DataFrame] = None) -> DataFrame:
     """(vec_id, cid, rep_id, keep): SemDeDup-shaped semantic
     deduplication — coarse-cluster the embedding space, compare vectors
     only WITHIN their cluster, connect pairs above ``threshold`` into
@@ -604,7 +626,8 @@ def semantic_dedup(embeddings: DataFrame, threshold: float = 0.9,
     from .dedup import cap_bucket_fanout, duplicate_clusters
 
     cen, assign, scored = ivf_assignments(embeddings, n_centroids,
-                                          id_col, vec_col, q, seed)
+                                          id_col, vec_col, q, seed,
+                                          centroids=centroids)
     # assign feeds candidate generation, vector re-attach (twice), and the
     # final labeling join — persist it; `scored` folds into `assign` once
     assign = assign.persist()
@@ -643,7 +666,8 @@ def semantic_dedup(embeddings: DataFrame, threshold: float = 0.9,
 
 def prototypicality(embeddings: DataFrame, n_centroids: int = 16,
                     id_col: str = "vec_id", vec_col: str = "embedding",
-                    q: int = 1000, seed: int = 42) -> DataFrame:
+                    q: int = 1000, seed: int = 42,
+                    centroids: Optional[DataFrame] = None) -> DataFrame:
     """(vec_id, cid, proto, pr): embedding-space prototypicality scoring —
     the pruning signal behind SSL-prototypes / D4-style data selection.
     ``proto`` is the exact cosine between a vector and its assigned coarse
@@ -666,7 +690,8 @@ def prototypicality(embeddings: DataFrame, n_centroids: int = 16,
     from pyspark.sql import Window
 
     cen, assign, scored = ivf_assignments(embeddings, n_centroids,
-                                          id_col, vec_col, q, seed)
+                                          id_col, vec_col, q, seed,
+                                          centroids=centroids)
     best = (scored.groupBy(id_col)
             .agg(F.max_by(F.col("cid"),
                           F.struct(F.col("ccos"), -F.col("cid"))).alias("cid"),

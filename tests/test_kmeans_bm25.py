@@ -134,3 +134,37 @@ def test_bm25_all_null_text(spark):
     # corpus; the guard must treat them as 0 instead of raising
     d = _docs(spark, [(1, None), (2, None)])
     assert text.bm25_topk(d, ["x"], n=5).collect() == []
+
+
+def test_kmeans_centroids_plug_into_ivf_family(spark):
+    # the docstring contract: kmeans output is a drop-in trained coarse
+    # quantizer for ivf_topk / prototypicality / semantic_dedup
+    rows = []
+    for i in range(25):
+        eps = (i % 5) * 0.01
+        rows.append((i, [1.0, eps, 0.0, 0.0]))
+        rows.append((100 + i, [eps, 0.0, 1.0, 0.0]))
+    emb = _vecs(spark, rows)
+    cen, _ = similarity.kmeans(emb, k=2, n_iters=2)
+    cen = cen.persist()
+
+    # prototypicality with trained centroids: every vector is near its
+    # own cone's centroid
+    pr = similarity.prototypicality(emb, centroids=cen).collect()
+    assert len(pr) == 50
+    assert all(r["proto"] > 0.98 for r in pr)
+    by_cone = {}
+    for r in pr:
+        by_cone.setdefault(r["vec_id"] // 100, set()).add(r["cid"])
+    assert all(len(v) == 1 for v in by_cone.values())
+    assert by_cone[0] != by_cone[1]
+
+    # ivf_topk with trained centroids: neighbors stay intra-cone
+    nb = similarity.ivf_topk(emb, k=3, nprobe=1, centroids=cen).collect()
+    assert nb and all(r["query_id"] // 100 == r["neighbor_id"] // 100
+                      for r in nb)
+
+    # semantic_dedup with trained centroids runs end-to-end
+    sd = similarity.semantic_dedup(emb, threshold=0.995,
+                                   centroids=cen).collect()
+    assert {r["vec_id"] for r in sd} == {r[0] for r in rows}
