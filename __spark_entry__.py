@@ -1053,6 +1053,32 @@ def q_char_entropy(spark, sf_dir):
     return text_ops.char_entropy(d)
 
 
+def q_quality_corpus(spark, sf_dir):
+    """Round-5 quality composition (the CCNet/Gopher-style pre-dedup
+    gauntlet): Gopher rules AND a character-entropy band AND a bigram-LM
+    perplexity cut, survivors assigned reproducible train/val/test
+    splits. Every stage binds at sf0.01 (gopher drops ~21%, entropy >=2.8
+    ~40%, avg_nll <=3.45 ~60%); the oracle recomputes the ENTIRE chain —
+    all three model pipelines plus the md5 split buckets."""
+    d = _t(spark, sf_dir, "documents")
+    from json_schema_spark.pipeline import sampling
+
+    g = text_ops.gopher_rules(
+        d, min_words=30,
+        stopwords=_GOPHER_QUERY_STOPWORDS).select("doc_id", "keep")
+    e = text_ops.char_entropy(d).select("doc_id", "entropy")
+    p = (text_ops.bigram_nll(d, reference=d.where(F.col("lang") == "en"))
+         .select("doc_id", "avg_nll"))
+    surv = (d.select("doc_id", "lang")
+            .join(g, "doc_id").join(e, "doc_id").join(p, "doc_id")
+            .where(F.col("keep") & (F.col("entropy") >= F.lit(2.8))
+                   & (F.col("avg_nll") <= F.lit(3.45)))
+            .select("doc_id", "lang"))
+    return (sampling.hash_split(surv, {"train": 0.8, "val": 0.1,
+                                       "test": 0.1})
+            .select("doc_id", "lang", "split"))
+
+
 def q_asof_click_before_purchase(spark, sf_dir):
     """As-of join: each purchase event picks up the most recent click value
     at-or-before its timestamp for the same user (union + running-last
@@ -1252,6 +1278,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_nll": q_bigram_nll,
         "tfidf_terms": q_tfidf_terms,
         "char_entropy": q_char_entropy,
+        "quality_corpus": q_quality_corpus,
         "dsir_weights": q_dsir_weights,
         "dsir_sample": q_dsir_sample,
         "split_leakage": q_split_leakage,
@@ -1706,21 +1733,24 @@ def _dedup_against_oracle() -> str:
     """
 
 
-def _gopher_oracle(min_words: int = 30) -> str:
+def _gopher_oracle(min_words: int = 30, plant: bool = True) -> str:
     """DuckDB replica of text.gopher_rules over the same planted bullet /
-    ellipsis blocks. Every signal is recomputed independently (list ops
-    instead of the Spark side's lookaround regexp_counts where RE2 lacks
-    lookbehind); same rule order, same comma-joined reasons string."""
+    ellipsis blocks (``plant=False`` scores the raw corpus — the
+    quality_corpus composition's shape). Every signal is recomputed
+    independently (list ops instead of the Spark side's lookaround
+    regexp_counts where RE2 lacks lookbehind); same rule order, same
+    comma-joined reasons string."""
     sw = ", ".join(f"'{w}'" for w in _GOPHER_QUERY_STOPWORDS)
     bullet_sql = _BULLET_BLOCK.replace("\n", "' || chr(10) || '")
     ellipsis_sql = _ELLIPSIS_BLOCK.replace("\n", "' || chr(10) || '")
-    return f"""
-        WITH base AS (
-            SELECT doc_id, concat(text,
+    base = f"""concat(text,
                 CASE WHEN doc_id % 11 = 7
                      THEN '{bullet_sql}' ELSE '' END,
                 CASE WHEN doc_id % 19 = 3
-                     THEN '{ellipsis_sql}' ELSE '' END) AS text
+                     THEN '{ellipsis_sql}' ELSE '' END)""" if plant else "text"
+    return f"""
+        WITH base AS (
+            SELECT doc_id, {base} AS text
             FROM documents
         ),
         sig AS (
@@ -2486,6 +2516,35 @@ def _char_entropy_oracle() -> str:
     """
 
 
+def _quality_corpus_oracle() -> str:
+    """DuckDB recomputation of the WHOLE quality_corpus chain: the three
+    model pipelines (gopher over RAW text, char entropy, bigram NLL) as
+    nested-WITH CTEs, the same double-literal cuts, and the md5 'split'
+    buckets. Docs with <2 tokens drop via the inner NLL join on both
+    sides."""
+    return f"""
+        WITH g AS ({_gopher_oracle(30, plant=False)}),
+        e AS ({_char_entropy_oracle()}),
+        p AS ({_bigram_nll_oracle()}),
+        s AS (
+            SELECT d.doc_id, d.lang,
+                   CAST(concat('0x', substr(md5(concat('split_42_',
+                       CAST(d.doc_id AS VARCHAR))), 1, 15)) AS BIGINT)
+                       % 10000 AS bucket
+            FROM documents d
+            JOIN g USING (doc_id)
+            JOIN e USING (doc_id)
+            JOIN p USING (doc_id)
+            WHERE g.keep AND e.entropy >= 2.8 AND p.avg_nll <= 3.45
+        )
+        SELECT doc_id, lang,
+               CASE WHEN bucket < 8000 THEN 'train'
+                    WHEN bucket < 9000 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM s
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "validate_verdicts": f"SELECT doc_id, {_VALID_COND} AS is_valid FROM documents",
@@ -3189,6 +3248,7 @@ def oracle_sql() -> dict[str, str]:
         "bigram_nll": _bigram_nll_oracle(),
         "tfidf_terms": _tfidf_oracle(),
         "char_entropy": _char_entropy_oracle(),
+        "quality_corpus": _quality_corpus_oracle(),
         "dsir_weights": _dsir_oracle(),
         "dsir_sample": _dsir_sample_oracle(),
         "split_leakage": _split_leakage_oracle(),

@@ -87,6 +87,7 @@ BENCH_QUERIES = [
     "bigram_nll",
     "tfidf_terms",
     "char_entropy",
+    "quality_corpus",
 ]
 
 
