@@ -1079,6 +1079,29 @@ def q_quality_corpus(spark, sf_dir):
             .select("doc_id", "lang", "split"))
 
 
+def q_intra_line_dedup(spark, sf_dir):
+    """WITHIN-document duplicate-line removal (dedup.intra_doc_line_dedup,
+    the RefinedWeb intra-doc pass). Construction plants an intra-doc
+    repeat of the first body line (~1/5 of docs, must be removed) and a
+    duplicated short '--' separator (~1/4, immune at min_line_chars=5,
+    must survive twice). The oracle replays the construction and the
+    keeper/immunity/reassembly logic independently."""
+    d = _t(spark, sf_dir, "documents")
+    did, t = F.col("doc_id"), F.col("text")
+    m = d.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.substring(t, 1, 60),
+            F.when(did % 4 == F.lit(0), F.lit("--")),
+            F.substring(t, 61, 60),
+            F.when(did % 4 == F.lit(0), F.lit("--")),
+            F.substring(t, 121, 60),
+            F.when(did % 5 == F.lit(1), F.substring(t, 1, 60)),
+        ).alias("text"))
+    return dedup.intra_doc_line_dedup(m, min_line_chars=5)
+
+
 def q_asof_click_before_purchase(spark, sf_dir):
     """As-of join: each purchase event picks up the most recent click value
     at-or-before its timestamp for the same user (union + running-last
@@ -1279,6 +1302,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_terms": q_tfidf_terms,
         "char_entropy": q_char_entropy,
         "quality_corpus": q_quality_corpus,
+        "intra_line_dedup": q_intra_line_dedup,
         "dsir_weights": q_dsir_weights,
         "dsir_sample": q_dsir_sample,
         "split_leakage": q_split_leakage,
@@ -2545,6 +2569,50 @@ def _quality_corpus_oracle() -> str:
     """
 
 
+def _intra_line_oracle(min_line_chars: int = 5) -> str:
+    """DuckDB replica of dedup.intra_doc_line_dedup over the same planted
+    construction (intra-doc repeated first line %5, duplicated immune
+    '--' separators %4): min(pos)-per-(doc, trimmed key) keepers, the
+    short-line immunity rule, ordered string_agg reassembly."""
+    return f"""
+        WITH base AS (
+            SELECT doc_id, concat_ws(chr(10),
+                substr(text, 1, 60),
+                CASE WHEN doc_id % 4 = 0 THEN '--' END,
+                substr(text, 61, 60),
+                CASE WHEN doc_id % 4 = 0 THEN '--' END,
+                substr(text, 121, 60),
+                CASE WHEN doc_id % 5 = 1 THEN substr(text, 1, 60) END)
+                AS text
+            FROM documents
+        ),
+        ls AS (SELECT doc_id, string_split(text, chr(10)) AS lines FROM base),
+        ln AS (SELECT doc_id, i AS pos, lines[i + 1] AS line
+               FROM ls, LATERAL (SELECT unnest(range(len(lines))) AS i) ii),
+        keyed AS (SELECT doc_id, pos, line, trim(line) AS key,
+                         length(trim(line)) < {min_line_chars} AS immune
+                  FROM ln),
+        fst AS (SELECT doc_id, key, min(pos) AS kp FROM keyed
+                WHERE NOT immune GROUP BY doc_id, key),
+        kept AS (
+            SELECT doc_id, pos, line FROM keyed WHERE immune
+            UNION ALL
+            SELECT k.doc_id, k.pos, k.line
+            FROM keyed k JOIN fst f
+              ON f.doc_id = k.doc_id AND f.key = k.key
+            WHERE NOT k.immune AND k.pos = f.kp
+        ),
+        counts AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines
+                   FROM ln GROUP BY doc_id)
+        SELECT k.doc_id,
+               string_agg(k.line, chr(10) ORDER BY k.pos) AS text,
+               any_value(c.n_lines) AS n_lines,
+               CAST(count(*) AS BIGINT) AS n_kept
+        FROM kept k JOIN counts c USING (doc_id)
+        GROUP BY k.doc_id
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "validate_verdicts": f"SELECT doc_id, {_VALID_COND} AS is_valid FROM documents",
@@ -3249,6 +3317,7 @@ def oracle_sql() -> dict[str, str]:
         "tfidf_terms": _tfidf_oracle(),
         "char_entropy": _char_entropy_oracle(),
         "quality_corpus": _quality_corpus_oracle(),
+        "intra_line_dedup": _intra_line_oracle(),
         "dsir_weights": _dsir_oracle(),
         "dsir_sample": _dsir_sample_oracle(),
         "split_leakage": _split_leakage_oracle(),

@@ -88,6 +88,7 @@ BENCH_QUERIES = [
     "tfidf_terms",
     "char_entropy",
     "quality_corpus",
+    "intra_line_dedup",
 ]
 
 

@@ -859,3 +859,46 @@ def dedup_against(df: DataFrame, reference: DataFrame,
     return (df.withColumn("__fp", fp)
             .join(ref, "__fp", "left_anti")
             .drop("__fp"))
+
+
+def intra_doc_line_dedup(df: DataFrame, min_line_chars: int = 0,
+                         id_col: str = "doc_id",
+                         text_col: str = "text") -> DataFrame:
+    """WITHIN-document duplicate-line removal → (id, text, n_lines,
+    n_kept): keep only the FIRST occurrence of each trimmed line inside
+    each document (the RefinedWeb intra-document pass — nav menus,
+    repeated headers, chat quoting — complementing ``line_dedup``'s
+    corpus-level frequency pass). Lines whose trimmed form is shorter
+    than ``min_line_chars`` are structural (separators, blanks) and are
+    always kept, duplicated or not — the same immunity rule as
+    ``line_dedup``.
+
+    Scale shape: line explode is row-local; keeper selection is one
+    map-side-combined min(pos) per (doc, key) plus a same-key join —
+    every shuffle is keyed by (doc, line) or doc, so hot keys are
+    bounded by single-document size, never corpus-wide. Reassembly
+    sorts each doc's surviving (pos, line) structs inside one aggregate
+    — no window, no global sort."""
+    lines = F.split(F.col(text_col), "\n")
+    base = df.select(F.col(id_col), F.posexplode(lines).alias("pos", "line"))
+    keyed = (base.withColumn("key", F.trim("line"))
+             .withColumn("immune",
+                         F.char_length(F.col("key")) < min_line_chars))
+    dup = keyed.where(~F.col("immune"))
+    first = dup.groupBy(id_col, "key").agg(F.min("pos").alias("kp"))
+    kept_dup = (dup.join(first, [id_col, "key"])
+                .where(F.col("pos") == F.col("kp"))
+                .select(id_col, "pos", "line"))
+    kept = (keyed.where(F.col("immune")).select(id_col, "pos", "line")
+            .unionByName(kept_dup))
+    counts = base.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_lines"))
+    out = (kept.groupBy(id_col)
+           .agg(F.count(F.lit(1)).alias("n_kept"),
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(
+                            F.struct("pos", "line"))),
+                        lambda x: x.getField("line")), "\n").alias("txt")))
+    return (out.join(counts, id_col)
+            .select(F.col(id_col), F.col("txt").alias(text_col),
+                    "n_lines", "n_kept"))

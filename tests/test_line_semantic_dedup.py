@@ -369,3 +369,41 @@ class TestTokenStats:
                                    "doc_id bigint, text string, lang string")
         out = {r.lang: r.n_tokens for r in text_ops.token_stats(df).collect()}
         assert out == {None: 2, "en": 1}
+
+
+class TestIntraDocLineDedup:
+    def _d(self, spark, rows):
+        return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+    def test_keeps_first_occurrence_per_doc(self, spark):
+        from json_schema_spark.pipeline import dedup
+
+        d = self._d(spark, [(1, "nav\nbody one\nnav\nbody two\nnav"),
+                            (2, "nav\nother")])
+        got = {r["doc_id"]: r for r in
+               dedup.intra_doc_line_dedup(d).collect()}
+        # within doc 1 only the FIRST 'nav' survives; doc 2 untouched
+        assert got[1]["text"] == "nav\nbody one\nbody two"
+        assert (got[1]["n_lines"], got[1]["n_kept"]) == (5, 3)
+        assert got[2]["text"] == "nav\nother"
+
+    def test_short_lines_immune(self, spark):
+        from json_schema_spark.pipeline import dedup
+
+        d = self._d(spark, [(1, "--\nreal line here\n--\nreal line here")])
+        got = dedup.intra_doc_line_dedup(d, min_line_chars=5).collect()[0]
+        assert got["text"] == "--\nreal line here\n--"
+        assert (got["n_lines"], got["n_kept"]) == (4, 3)
+
+    def test_trim_keyed_and_partition_invariant(self, spark):
+        from json_schema_spark.pipeline import dedup
+
+        rows = [(i, f"head {i % 3}\n  head {i % 3}  \nbody {i}")
+                for i in range(20)]
+        a = sorted(tuple(r) for r in dedup.intra_doc_line_dedup(
+            self._d(spark, rows).repartition(1)).collect())
+        b = sorted(tuple(r) for r in dedup.intra_doc_line_dedup(
+            self._d(spark, rows).repartition(7, "doc_id")).collect())
+        assert a == b
+        # whitespace-variant duplicate removed (trimmed key)
+        assert all(r[1].count("head") == 1 for r in a)
