@@ -2552,8 +2552,8 @@ def _quality_corpus_oracle() -> str:
         p AS ({_bigram_nll_oracle()}),
         s AS (
             SELECT d.doc_id, d.lang,
-                   CAST(concat('0x', substr(md5(concat('split_42_',
-                       CAST(d.doc_id AS VARCHAR))), 1, 15)) AS BIGINT)
+                   {_MD5_INT.format(
+                       x="concat('split_42_', CAST(d.doc_id AS VARCHAR))")}
                        % 10000 AS bucket
             FROM documents d
             JOIN g USING (doc_id)

@@ -861,7 +861,7 @@ def dedup_against(df: DataFrame, reference: DataFrame,
             .drop("__fp"))
 
 
-def intra_doc_line_dedup(df: DataFrame, min_line_chars: int = 0,
+def intra_doc_line_dedup(df: DataFrame, min_line_chars: int = 5,
                          id_col: str = "doc_id",
                          text_col: str = "text") -> DataFrame:
     """WITHIN-document duplicate-line removal → (id, text, n_lines,
@@ -870,35 +870,38 @@ def intra_doc_line_dedup(df: DataFrame, min_line_chars: int = 0,
     repeated headers, chat quoting — complementing ``line_dedup``'s
     corpus-level frequency pass). Lines whose trimmed form is shorter
     than ``min_line_chars`` are structural (separators, blanks) and are
-    always kept, duplicated or not — the same immunity rule as
-    ``line_dedup``.
+    always kept, duplicated or not — the same immunity rule and the
+    same >= 1 floor as ``line_dedup`` (0 would dedup blank lines and
+    silently collapse paragraph separators).
 
     Scale shape: line explode is row-local; keeper selection is one
-    map-side-combined min(pos) per (doc, key) plus a same-key join —
-    every shuffle is keyed by (doc, line) or doc, so hot keys are
-    bounded by single-document size, never corpus-wide. Reassembly
-    sorts each doc's surviving (pos, line) structs inside one aggregate
-    — no window, no global sort."""
+    map-side-combined min(pos) per (doc, key) left-joined back onto the
+    line table — every shuffle is keyed by (doc, line) or doc, so hot
+    keys are bounded by single-document size, never corpus-wide. One
+    groupBy on the doc id computes n_lines, n_kept, and the reassembled
+    text together (collect_list skips the when()-NULLed removed lines) —
+    no union, no second aggregate, no window (the ``line_dedup``
+    shape)."""
+    if min_line_chars < 1:
+        raise ValueError("min_line_chars must be >= 1")
     lines = F.split(F.col(text_col), "\n")
     base = df.select(F.col(id_col), F.posexplode(lines).alias("pos", "line"))
-    keyed = (base.withColumn("key", F.trim("line"))
-             .withColumn("immune",
-                         F.char_length(F.col("key")) < min_line_chars))
-    dup = keyed.where(~F.col("immune"))
-    first = dup.groupBy(id_col, "key").agg(F.min("pos").alias("kp"))
-    kept_dup = (dup.join(first, [id_col, "key"])
-                .where(F.col("pos") == F.col("kp"))
-                .select(id_col, "pos", "line"))
-    kept = (keyed.where(F.col("immune")).select(id_col, "pos", "line")
-            .unionByName(kept_dup))
-    counts = base.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_lines"))
-    out = (kept.groupBy(id_col)
-           .agg(F.count(F.lit(1)).alias("n_kept"),
+    key = F.trim(F.col("line"))
+    keyed = base.withColumn(
+        "key", F.when(F.char_length(key) >= min_line_chars, key))
+    first = (keyed.where(F.col("key").isNotNull())
+             .groupBy(id_col, "key").agg(F.min("pos").alias("kp")))
+    marked = (keyed.join(first, [id_col, "key"], "left")
+              .withColumn("rm", F.col("key").isNotNull()
+                          & (F.col("pos") != F.col("kp"))))
+    out = (marked.groupBy(id_col)
+           .agg(F.count(F.lit(1)).alias("n_lines"),
+                F.count(F.when(~F.col("rm"), F.lit(1))).alias("n_kept"),
                 F.array_join(
                     F.transform(
                         F.array_sort(F.collect_list(
-                            F.struct("pos", "line"))),
+                            F.when(~F.col("rm"),
+                                   F.struct("pos", "line")))),
                         lambda x: x.getField("line")), "\n").alias("txt")))
-    return (out.join(counts, id_col)
-            .select(F.col(id_col), F.col("txt").alias(text_col),
-                    "n_lines", "n_kept"))
+    return out.select(F.col(id_col), F.col("txt").alias(text_col),
+                      "n_lines", "n_kept")

@@ -435,30 +435,25 @@ def ivf_assignments(embeddings: DataFrame, n_centroids: int = 16,
         base = _quant_vecs(embeddings, id_col, vec_col, q, "qv", "nrm")
 
     if centroids is not None:
+        # one scoring/assignment tail for both branches: a tie-break or
+        # aggregate change can never diverge trained vs sampled semantics
         cen = centroids.select("cid", "cv", "cn")
-        pc = _pair_cosine_udf()
-        scored = (base.crossJoin(F.broadcast(cen))
-                  .withColumn("ccos", pc(F.col("qv"), F.col("cv"),
-                                         F.col("nrm"), F.col("cn"))))
-        assign = (scored.groupBy(id_col)
-                  .agg(F.max_by(F.col("cid"),
-                                F.struct(F.col("ccos"),
-                                         -F.col("cid"))).alias("cid"),
-                       F.first("qv").alias("qv"),
-                       F.first("nrm").alias("nrm")))
-        return cen, assign, scored
-
-    # top-k by hash, NOT a global row_number over the corpus: orderBy+limit
-    # plans as TakeOrdered (per-partition top-k, tiny driver merge); the
-    # global window then ranks only the n_centroids survivors
-    sample = (base
-              .withColumn("r", F.conv(F.substring(F.md5(
-                  F.concat(F.lit(f"ivf_{seed}_"), F.col(id_col).cast("string"))),
-                  1, 15), 16, 10).cast("bigint"))
-              .orderBy("r", id_col).limit(n_centroids))
-    cen = (sample
-           .withColumn("cid", F.row_number().over(Window.orderBy("r", id_col)))
-           .select("cid", F.col("qv").alias("cv"), F.col("nrm").alias("cn")))
+    else:
+        # top-k by hash, NOT a global row_number over the corpus:
+        # orderBy+limit plans as TakeOrdered (per-partition top-k, tiny
+        # driver merge); the global window then ranks only the
+        # n_centroids survivors
+        sample = (base
+                  .withColumn("r", F.conv(F.substring(F.md5(
+                      F.concat(F.lit(f"ivf_{seed}_"),
+                               F.col(id_col).cast("string"))),
+                      1, 15), 16, 10).cast("bigint"))
+                  .orderBy("r", id_col).limit(n_centroids))
+        cen = (sample
+               .withColumn("cid",
+                           F.row_number().over(Window.orderBy("r", id_col)))
+               .select("cid", F.col("qv").alias("cv"),
+                       F.col("nrm").alias("cn")))
 
     pc = _pair_cosine_udf()
     scored = (base.crossJoin(F.broadcast(cen))

@@ -381,7 +381,7 @@ class TestIntraDocLineDedup:
         d = self._d(spark, [(1, "nav\nbody one\nnav\nbody two\nnav"),
                             (2, "nav\nother")])
         got = {r["doc_id"]: r for r in
-               dedup.intra_doc_line_dedup(d).collect()}
+               dedup.intra_doc_line_dedup(d, min_line_chars=1).collect()}
         # within doc 1 only the FIRST 'nav' survives; doc 2 untouched
         assert got[1]["text"] == "nav\nbody one\nbody two"
         assert (got[1]["n_lines"], got[1]["n_kept"]) == (5, 3)
@@ -407,3 +407,19 @@ class TestIntraDocLineDedup:
         assert a == b
         # whitespace-variant duplicate removed (trimmed key)
         assert all(r[1].count("head") == 1 for r in a)
+
+    def test_blank_lines_never_dedup(self, spark):
+        from json_schema_spark.pipeline import dedup
+
+        # review finding: min_line_chars=0 would collapse paragraph
+        # separators; the floor is 1 (like line_dedup) and blanks are
+        # structural at any setting
+        import pytest
+
+        with pytest.raises(ValueError, match="min_line_chars"):
+            dedup.intra_doc_line_dedup(
+                self._d(spark, [(1, "a")]), min_line_chars=0)
+        d = self._d(spark, [(1, "para one\n\npara two\n\npara one")])
+        got = dedup.intra_doc_line_dedup(d, min_line_chars=1).collect()[0]
+        assert got["text"] == "para one\n\npara two\n"
+        assert (got["n_lines"], got["n_kept"]) == (5, 4)
