@@ -614,15 +614,20 @@ def bm25_topk(df: DataFrame, query_terms: List[str], n: int = 100,
             .limit(n))
 
 
-def _bpe_merge_udf(px: str, py: str):
-    """Arrow-vectorized canonical BPE merge application: one greedy
-    left-to-right pass replacing adjacent (px, py) token pairs with their
-    concatenation. Greedy-sequential semantics (a freshly merged token is
-    immediately eligible as the LEFT context of the next comparison) match
-    the reference BPE algorithm on self-overlapping runs — 'a'×5 under
-    (a,a) gives [aa, aa, a] — and are exactly what the oracle's
-    list_reduce fold replays."""
+def _bpe_merge_udf(merge_pairs):
+    """Arrow-vectorized canonical BPE merge application for a RANK-ORDERED
+    batch of merges: each (px, py) is one full greedy left-to-right pass
+    replacing adjacent (px, py) token pairs with their concatenation —
+    applied strictly in batch order, so the result is identical to
+    ``len(merge_pairs)`` sequential single-merge rounds by construction.
+    Greedy-sequential semantics (a freshly merged token is immediately
+    eligible as the LEFT context of the next comparison) match the
+    reference BPE algorithm on self-overlapping runs — 'a'×5 under (a,a)
+    gives [aa, aa, a] — and are exactly what the oracle's list_reduce
+    fold replays, one fold per merge rank."""
     import pandas as pd
+
+    pairs = list(merge_pairs)
 
     @F.pandas_udf("array<string>")
     def mrg(states):
@@ -631,16 +636,71 @@ def _bpe_merge_udf(px: str, py: str):
             if toks is None:
                 out.append(None)
                 continue
-            res = []
-            for t in toks:
-                if res and res[-1] == px and t == py:
-                    res[-1] = px + py
-                else:
-                    res.append(t)
+            res = list(toks)
+            for px, py in pairs:
+                src, res = res, []
+                for t in src:
+                    if res and res[-1] == px and t == py:
+                        res[-1] = px + py
+                    else:
+                        res.append(t)
             out.append(res)
         return pd.Series(out, dtype=object)
 
     return mrg
+
+
+def _bpe_safe_batch(rows, applied_tokens, limit):
+    """The maximal prefix of the sorted pair-count rows that can be applied
+    in ONE round with results bit-identical to one-merge-per-round
+    training. ``rows`` are (lhs, rhs, cnt) in the sequential selection
+    order (cnt DESC, lhs, rhs); ``applied_tokens`` is the set of
+    concatenations of every previously applied merge (multi-char tokens
+    can only ever be created by merges, so this is exactly the set of
+    existing multi-char token strings).
+
+    Safety argument (each condition removes one way sequential round i+1
+    could pick something other than the batch's (i+1)-th pair):
+
+    1. PREFIX of the sorted list, cut at the FIRST pair sharing a token
+       with an earlier selected pair — selected pairs are pairwise
+       token-disjoint, so applying one cannot change another's count
+       (only pairs overlapping a merge site change, and those share a
+       token with the merged pair); and every conflicting/excluded pair
+       sorts strictly after the whole batch.
+    2. Each selected concatenation lhs+rhs must be a BRAND-NEW token
+       string (not in ``applied_tokens``, not created earlier in this
+       batch) — otherwise existing pairs with that token as an endpoint
+       could GAIN count mid-batch and overtake later batch members.
+       With brand-new concatenations, every pair that gains count is a
+       new pair (x, t) whose count is bounded by an old pair sharing an
+       endpoint with a batch member — an excluded pair.
+    3. STRICT count drop at the cut: the last selected count must exceed
+       the first excluded pair's count (old pairs only lose count and new
+       pairs are bounded by excluded-pair counts, so everything outside
+       the batch stays strictly below every batch member through every
+       intermediate round — no tie-break can reorder). A batch of one
+       needs no drop: it replicates the sequential round exactly.
+    """
+    batch = []
+    used, new_ts = set(), set()
+    for lhs, rhs, cnt in rows:
+        if len(batch) >= limit:
+            break
+        if batch:
+            if lhs in used or rhs in used or lhs in new_ts or rhs in new_ts:
+                break
+            t = lhs + rhs
+            if t in applied_tokens or t in new_ts:
+                break
+        batch.append((lhs, rhs, cnt))
+        used.update((lhs, rhs))
+        new_ts.add(lhs + rhs)
+    # strictness at the cut (condition 3): only needed when pairs remain
+    while len(batch) > 1 and len(batch) < len(rows) \
+            and rows[len(batch)][2] >= batch[-1][2]:
+        batch.pop()
+    return batch
 
 
 def bpe_train(df: DataFrame, n_merges: int = 10, text_col: str = "text",
@@ -652,14 +712,22 @@ def bpe_train(df: DataFrame, n_merges: int = 10, text_col: str = "text",
 
     Scale shape: the CORPUS is touched exactly once — one map-side-
     combined word-frequency groupBy (the only corpus-scale shuffle).
-    Every merge round then runs over the DISTINCT-VOCAB table only
-    (orders of magnitude smaller, but still distributed — web-scale
-    vocabs run to 10^8 words, far too big to collect as HF's in-memory
-    trainer would): one pair-count aggregate with frequency weights
-    feeding a global argmax via orderBy().limit(1) (TakeOrdered — never a
-    sort), then one Arrow merge pass updating token states. The driver
-    sees O(1) per round (the winning pair); each round persists its state
-    and releases the previous one.
+    Training then runs over the DISTINCT-VOCAB table only (orders of
+    magnitude smaller, but still distributed — web-scale vocabs run to
+    10^8 words, far too big to collect as HF's in-memory trainer would)
+    in BATCHED rounds: one pair-count aggregate with frequency weights
+    feeding a top-K collect via orderBy().limit(K) (TakeOrdered — never
+    a sort), a driver-side O(K) selection of the maximal batch of merges
+    provably equal to one-merge-per-round training (see _bpe_safe_batch:
+    pairwise token-disjoint sorted prefix, brand-new concatenations,
+    strict count drop at the cut), then ONE Arrow pass applying the whole
+    batch in rank order. The driver sees O(K) per round; each round
+    persists its state and releases the previous one. Batching removes
+    the per-merge fixed-job-overhead floor: at production merge counts
+    (2k–32k) rounds collapse by the typical batch width (Zipfian pair
+    counts tie rarely, so batches run tens wide), while results stay
+    bit-identical to sequential rounds — the DuckDB oracle still replays
+    one merge per rank.
 
     Determinism / oracle parity: greedy left-to-right merge application
     (see _bpe_merge_udf); argmax ties break lexicographically (lhs, rhs);
@@ -667,14 +735,7 @@ def bpe_train(df: DataFrame, n_merges: int = 10, text_col: str = "text",
     printable ASCII (``^[!-~]+$``) so per-character indexing agrees
     across engines (Spark substring counts UTF-16 code units, DuckDB
     counts codepoints — equal only on ASCII); extend with an
-    ICU-consistent pre-segmenter for full Unicode.
-
-    At production merge counts (2k–32k) per-round fixed job overhead
-    (~0.5 s) dominates a small vocab; the standard fix is batch rounds —
-    take the top-T pairs whose four token endpoints are pairwise disjoint
-    and apply them in one pass (disjoint merges can't change each other's
-    counts, so the result equals T sequential rounds). Kept out of this
-    implementation to keep the oracle replay one-merge-per-round."""
+    ICU-consistent pre-segmenter for full Unicode."""
     merges, vocab = _bpe_learn(df, n_merges, text_col, lowercase)
     vocab.unpersist()
     return df.sparkSession.createDataFrame(
@@ -706,9 +767,18 @@ def _bpe_learn(df: DataFrame, n_merges: int, text_col: str,
              .persist())
 
     merges = []
+    applied_tokens: set = set()
     cur = words
     prev = None
-    for rank in range(1, n_merges + 1):
+    while len(merges) < n_merges:
+        remaining = n_merges - len(merges)
+        # top-K (TakeOrdered — never a sort) instead of top-1: the driver
+        # derives the maximal SAFE batch of merges from the O(K) rows (see
+        # _bpe_safe_batch), collapsing up to `remaining` per-merge Spark
+        # rounds into one. K is remaining+8 so the strictness sentinel
+        # (first excluded pair) is almost always in hand; row K itself is
+        # never selected (the table may hold more pairs beyond it).
+        k_rows = min(remaining + 8, 1024)
         top = (cur.where(F.size("st") >= 2)
                .select("n", F.explode(F.expr(
                    "transform(sequence(1, size(st) - 1), "
@@ -717,7 +787,7 @@ def _bpe_learn(df: DataFrame, n_merges: int, text_col: str,
                .groupBy("p.lhs", "p.rhs")
                .agg(F.sum("n").alias("cnt"))
                .orderBy(F.col("cnt").desc(), "lhs", "rhs")
-               .limit(1).collect())
+               .limit(k_rows).collect())
         # the collect above materialized cur's cache, so its parent can go
         # now — deferring the unpersist one round replaces a per-round
         # count() materialization job (measured: ~half the round cost at
@@ -727,10 +797,16 @@ def _bpe_learn(df: DataFrame, n_merges: int, text_col: str,
             prev = None
         if not top:
             break
-        px, py, cnt = top[0]["lhs"], top[0]["rhs"], int(top[0]["cnt"])
-        merges.append((rank, px, py, cnt))
-        nxt = (cur.withColumn("st", _bpe_merge_udf(px, py)(F.col("st")))
-               .persist())
+        rows = [(r["lhs"], r["rhs"], int(r["cnt"])) for r in top]
+        limit = remaining if len(rows) < k_rows else min(remaining,
+                                                        k_rows - 1)
+        batch = _bpe_safe_batch(rows, applied_tokens, limit)
+        for px, py, cnt in batch:
+            merges.append((len(merges) + 1, px, py, cnt))
+            applied_tokens.add(px + py)
+        nxt = (cur.withColumn(
+            "st", _bpe_merge_udf([(px, py) for px, py, _ in batch])
+            (F.col("st"))).persist())
         prev = cur
         cur = nxt
     if prev is not None:

@@ -216,3 +216,37 @@ def test_char_entropy_partitioning_invariant(spark):
     b = sorted(tuple(r) for r in text.char_entropy(
         _docs_ids(spark, corpus).repartition(7, "doc_id")).collect())
     assert a == b
+
+
+def test_bpe_batched_rounds_equal_sequential(spark, monkeypatch):
+    """r6 optimization: batched merge rounds (_bpe_safe_batch) must be
+    bit-identical to one-merge-per-round training. Corpora are built to
+    stress every cut condition: shared endpoints between top pairs, count
+    ties at the would-be cut, merged tokens recreating existing pair
+    endpoints, and self-overlapping runs."""
+    import random
+
+    corpora = [
+        # heavy tie + conflict pressure: tiny alphabet, overlapping pairs
+        ["abab caca abca", "bcbc abab caab", "aabb ccaa babc"],
+        # disjoint alphabets -> wide batches
+        ["ab ab cd cd ef ef gh gh", "ij ij kl kl mn mn op op"],
+        # self-overlap + recreated tokens
+        ["aaaa bbbb aaaa", "aabb bbaa abab", "aaab bbba"],
+    ]
+    rng = random.Random(7)
+    letters = "abcde"
+    corpora.append([" ".join("".join(rng.choice(letters)
+                                     for _ in range(rng.randint(2, 8)))
+                             for _ in range(30)) for _ in range(4)])
+
+    for texts in corpora:
+        d = _docs(spark, texts)
+        batched = [tuple(r) for r in
+                   text.bpe_train(d, n_merges=12).collect()]
+        with monkeypatch.context() as m:
+            m.setattr(text, "_bpe_safe_batch",
+                      lambda rows, applied, limit: rows[:1])
+            seq = [tuple(r) for r in
+                   text.bpe_train(d, n_merges=12).collect()]
+        assert batched == seq, texts
