@@ -183,6 +183,22 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _scan_fanout(df: DataFrame, id_col: str) -> DataFrame:
+    """Input-skew guard (optimization guide §2.5 'one huge unsplittable
+    file'): when the scan yields fewer partitions than the cluster has
+    cores, fan out by a hash of the id so downstream per-row work (the
+    interpreted variant validators here) parallelizes. At real scale the
+    scan's own splits already exceed the core count and this is a NO-OP —
+    no shuffle is ever added to a well-split input. (r6 re-measurement
+    overturned the round-4 note that fan-out was slower: per-task plan
+    instantiation is amortized by Spark's task-binary broadcast; scaffold
+    exec dropped 6.7 s -> 1.2 s with the fan-out.)"""
+    n = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= n:
+        return df
+    return df.repartition(n, F.col(id_col))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: compile the documents schema once, validate the corpus,
     emit violation rows (doc_id, path, error_type, schema_pointer, message)."""
@@ -208,7 +224,7 @@ def q_validate_violations(spark, sf_dir):
 
 
 def q_validate_props_json(spark, sf_dir):
-    events = _t(spark, sf_dir, "events")
+    events = _scan_fanout(_t(spark, sf_dir, "events"), "event_id")
     res = ValidationEngine(spark).validate_json(events, "props", PROPS_SCHEMA,
                                                 id_cols=["event_id"])
     return res.annotated.select("event_id", "is_valid")
@@ -219,14 +235,10 @@ def q_scaffold_violations(spark, sf_dir):
     deterministic scaffold docs (doc_id % 20) validated against
     SCAFFOLD_SCHEMA — the driver-visible analog of the reference's
     validator_test.rb keyword matrix."""
-    d = _t(spark, sf_dir, "documents")
+    d = _scan_fanout(_t(spark, sf_dir, "documents"), "doc_id")
     docs = _scaffold_docs()
     doc = F.element_at(F.array(*[F.lit(s) for s in docs]),
                        (F.col("doc_id") % 20 + 1).cast("int"))
-    # NOTE: no repartition here — the scaffold expression tree is large, so
-    # per-task plan instantiation dominates tiny tasks (measured: 32-way
-    # fan-out of the 5k-row sf table SLOWER than single-task). At real scale
-    # the input's own splits amortize instantiation over millions of rows.
     df = d.select("doc_id", doc.alias("doc"))
     res = ValidationEngine(spark).validate_json(df, "doc", SCAFFOLD_SCHEMA,
                                                 id_cols=["doc_id"])

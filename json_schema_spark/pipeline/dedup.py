@@ -342,10 +342,34 @@ def duplicate_clusters(pairs: DataFrame, id_a: str = "id_a",
         _ckpt = lambda df: df.checkpoint()  # reliable, survives executor loss
     else:
         _ckpt = lambda df: df.localCheckpoint()
-    edges = (pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-             .union(pairs.select(F.col(id_b).alias("src"),
-                                 F.col(id_a).alias("dst")))
+    # both edge directions from ONE pass over the pair pipeline: the old
+    # union(select(a,b), select(b,a)) re-ran the entire upstream pair
+    # computation (shingle self-join / cosine re-rank — the expensive part
+    # of every consumer) once per branch; explode duplicates each row
+    # after it is computed instead (guide §1.2: don't compute things
+    # twice)
+    edges = (pairs.select(F.explode(F.array(
+                 F.struct(F.col(id_a).alias("src"), F.col(id_b).alias("dst")),
+                 F.struct(F.col(id_b).alias("src"), F.col(id_a).alias("dst")),
+             )).alias("e"))
+             .select("e.src", "e.dst")
              .distinct().persist())
+    # Materialize the edge table up front and SIZE THE ROUNDS' SHUFFLES
+    # from it (guide §2: partitioning must derive from data size, not a
+    # session constant). Label/edge tables are O(V)/O(E) model-state
+    # relations that every round re-shuffles; inheriting the session's
+    # corpus-sized spark.sql.shuffle.partitions gives each of the ~2·rounds
+    # iterative jobs a fleet of near-empty tasks at small E and too FEW
+    # partitions at 100-TB E. ~2M edges per partition keeps a round's task
+    # under ~100 MB of shuffle input at any scale. The count() replaces the
+    # lazy materialization the first round's checkpoint would have run —
+    # same work, now yielding the sizing signal.
+    n_edges = edges.count()
+    spark = pairs.sparkSession
+    round_parts = max(1, min((n_edges + 1_999_999) // 2_000_000,
+                             spark.sparkContext.defaultParallelism * 8))
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions", None)
+    spark.conf.set("spark.sql.shuffle.partitions", str(round_parts))
     labels = _ckpt(edges.select(F.col("src").alias("id")).distinct()
                    .withColumn("label", F.col("id")))
     changed = 0
@@ -382,6 +406,10 @@ def duplicate_clusters(pairs: DataFrame, id_a: str = "id_a",
                 break
     finally:
         edges.unpersist()
+        if old_parts is None:
+            spark.conf.unset("spark.sql.shuffle.partitions")
+        else:
+            spark.conf.set("spark.sql.shuffle.partitions", old_parts)
     if changed != 0:
         msg = (f"duplicate_clusters did not converge within "
                f"{max_iterations} iterations — a component wider than the "

@@ -222,8 +222,20 @@ def dsir_weights(df: DataFrame, target: DataFrame, n_buckets: int = 65536,
     ct = (_dsir_features(target, n_buckets, text_col, id_col)
           .groupBy("bucket").agg(F.count(F.lit(1)).alias("ct"))
           .persist())
-    d_raw = docfeat.agg(F.sum("c")).collect()[0][0] or 0
-    d_tgt = ct.agg(F.sum("ct")).collect()[0][0] or 0
+    # ONE eager totals job instead of two sequential ones: the union's
+    # branches materialize the two persisted feature tables CONCURRENTLY
+    # inside the same job (Spark schedules independent stages of one job
+    # in parallel — guide §2.6's overlap, without driver threads), halving
+    # the fixed job round-trips this op pays before the lambda table can
+    # be built. Totals are exact integer sums either way.
+    totals = dict(
+        docfeat.groupBy(F.lit("r").alias("side"))
+        .agg(F.sum("c").alias("t"))
+        .unionByName(ct.groupBy(F.lit("t").alias("side"))
+                     .agg(F.sum("ct").alias("t")))
+        .collect())
+    d_raw = int(totals.get("r") or 0)
+    d_tgt = int(totals.get("t") or 0)
 
     a, B = float(alpha), n_buckets
     log_tgt_denom = math.log(d_tgt + a * B)
