@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame, functions as F
 from . import cache
 from .dedup import dedup_exact, duplicate_clusters, jaccard_pairs
 from .sampling import hash_split
-from .text import lang_id, ngrams, tokens
+from .text import lang_id, ngram_structs, tokens
 
 
 def annotate_and_filter(df: DataFrame, *, min_tokens: int = 10,
@@ -41,14 +41,16 @@ def annotate_and_filter(df: DataFrame, *, min_tokens: int = 10,
     STREAMING per-micro-batch pass (streaming/curate_stream.py) filter
     with the identical expressions: stream and batch agree on "kept" by
     construction (same seam as dedup.minhash_bands)."""
-    # n_grams needs NO gram array — it's max(n_tokens − (n−1), 0) — so the
-    # interpreted transform (HOF lambdas never codegen) runs exactly once,
-    # inside array_distinct. Spark's projection collapsing re-inlines
-    # shared Column expressions, so "compute g once, use twice" would
-    # silently double the lambda work.
+    # n_grams needs NO gram array — it's max(n_tokens − (n−1), 0); the
+    # distinct count runs over the codegen struct-gram build
+    # (text.ngram_structs — struct distinctness == joined-string
+    # distinctness), so no interpreted HOF lambda remains in the scan.
     nt = F.size(tokens(F.col(text_col)))
     ng = F.when(nt >= jaccard_n, nt - (jaccard_n - 1)).otherwise(F.lit(0))
-    nd = F.size(F.array_distinct(ngrams(F.col(text_col), jaccard_n)))
+    nd = F.when(
+        nt >= jaccard_n,
+        F.size(F.array_distinct(ngram_structs(F.col(text_col), jaccard_n)))
+    ).otherwise(F.lit(0))
     ann = df.select(
         F.col(id_col), F.col(text_col),
         lang_id(F.col(text_col)).alias("lang"),

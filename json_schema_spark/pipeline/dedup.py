@@ -141,20 +141,23 @@ def shingles(df: DataFrame, n: int = 3, text_col: str = "text",
     Documents with fewer than ``n`` tokens produce NO shingles (and thus no
     signature / no pair rows downstream) — the same semantics as the DuckDB
     oracles' ``generate_series(1, len - n + 1)``, which is empty for short
-    docs. Without the guard, ``sequence(0, size - n)`` on a short doc counts
-    DOWN into negatives and ``slice(toks, 0, n)`` aborts the whole job with
-    INVALID_PARAMETER_VALUE.START (Spark 4.1.2)."""
+    docs (``ngram_structs`` yields NULL there and explode skips it).
+
+    r6 shape: grams are built as token structs via ``text.ngram_structs``
+    (arrays_zip over shifted slices — whole-stage codegen) and joined into
+    the shingle STRING only after the distinct + explode, so the
+    interpreted per-gram ``transform`` lambda (slice + array_join per
+    element, never codegen) is gone; struct distinctness equals joined-
+    string distinctness because tokens contain no whitespace."""
+    from .text import ngram_structs
+
     df = rebalance_by_id(df, id_col, rebalance)
-    toks = tokens(F.col(text_col))
-    grams = F.when(
-        F.size(toks) >= n,
-        F.transform(
-            F.sequence(F.lit(0), F.size(toks) - n),
-            lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    grams = ngram_structs(F.col(text_col), n)
     return (
-        df.select(F.col(id_col), F.explode(F.array_distinct(grams)).alias("shingle"))
+        df.select(F.col(id_col), F.explode(F.array_distinct(grams)).alias("__g"))
+        .select(F.col(id_col),
+                F.concat_ws(" ", *[F.col(f"__g.t{i}") for i in range(n)])
+                .alias("shingle"))
     )
 
 
