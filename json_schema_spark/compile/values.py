@@ -138,7 +138,8 @@ def _ruby_num_string(decimal_expr: str, is_integer: BoolLike) -> str:
 class VariantValue(Value):
     def __init__(self, expr: str, in_lambda: bool = False,
                  object_map_col: str = None, lam_ctx=None,
-                 child_map_cols=None):
+                 child_map_cols=None, tag_col: str = None,
+                 child_tag_cols=None):
         # SQL scalar functions cannot be invoked on lambda variables (the
         # inlined Project loses resolution), so values rooted at a
         # higher-order-function variable inline their render bodies instead.
@@ -153,8 +154,20 @@ class VariantValue(Value):
         # property's own object cast (engine.validate_variant).
         self.object_map_col = object_map_col
         self.child_map_cols = child_map_cols or {}
+        # same CSE for the TYPE TAG: schema_of_variant walks the whole
+        # subtree per call, every keyword's type dispatch calls it (a
+        # "number" test alone references the tag 4x), and with codegen
+        # subexpression elimination disabled each textual occurrence is a
+        # fresh per-row walk — the r6 profile of the 20-keyword scaffold
+        # plan counted 358 occurrences. tag_col / child_tag_cols are
+        # engine-pre-projected columns holding schema_of_variant of the
+        # root / of element_at(root map, key), evaluated once per row.
+        self.tag_col = tag_col
+        self.child_tag_cols = child_tag_cols or {}
 
     def _tag(self) -> str:
+        if self.tag_col:
+            return self.tag_col
         return fn("schema_of_variant", self.expr)
 
     def is_type(self, json_type: str) -> str:
@@ -215,11 +228,12 @@ class VariantValue(Value):
     def get_property(self, key: str) -> "VariantValue":
         return VariantValue(fn("element_at", self.object_map(), sql_str(key)),
                             in_lambda=self.in_lambda, lam_ctx=self.lam_ctx,
-                            object_map_col=self.child_map_cols.get(key))
+                            object_map_col=self.child_map_cols.get(key),
+                            tag_col=self.child_tag_cols.get(key))
 
     def truthy_property(self, key: str) -> str:
         v = fn("element_at", self.object_map(), sql_str(key))
-        t = fn("schema_of_variant", v)
+        t = self.child_tag_cols.get(key) or fn("schema_of_variant", v)
         return (f"coalesce({self.has_property(key)} AND ({t} <> 'VOID') AND "
                 f"(({t} <> 'BOOLEAN') OR try_variant_get({v}, '$', 'boolean')), false)")
 

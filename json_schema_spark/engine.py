@@ -186,7 +186,7 @@ class ValidationEngine:
     # contents can change without the key changing.
     _COMPILE_CACHE: "OrderedDict[tuple, tuple]" = OrderedDict()
     _COMPILE_CACHE_MAX = 64
-    _DISK_CACHE_FMT = 1  # bump on any change to the serialized shape
+    _DISK_CACHE_FMT = 2  # bump on any change to the serialized shape
 
     def _cached_compile(self, mode_key: tuple, schema, store, build):
         # an EMPTY document store is inert (external $refs fail identically
@@ -346,6 +346,8 @@ class ValidationEngine:
 
         obj_col = "__jss_omap"
 
+        tag_col = "__jss_vtag"
+
         def build():
             node = compile_schema(schema, store)
             # extend the CSE one level down: a nested object subschema
@@ -360,22 +362,40 @@ class ValidationEngine:
                     col = f"__jss_omap_{len(child_maps)}"
                     child_specs.append((key, col))
                     child_maps[key] = col
+            # TYPE-TAG CSE (r6): schema_of_variant walks its whole subtree
+            # per call and every keyword's type dispatch references the tag
+            # (up to 4x per test) — pre-project the root tag and one tag per
+            # property subtree, evaluated once per row. Unreferenced tag
+            # columns are pruned by Catalyst, so one per property is free.
+            tag_specs = []
+            child_tags = {}
+            for key in (node.properties or {}):
+                col = f"__jss_vtag_{len(tag_specs)}"
+                tag_specs.append((key, col))
+                child_tags[key] = col
             value = VariantValue(variant_col, object_map_col=obj_col,
-                                 child_map_cols=child_maps)
+                                 child_map_cols=child_maps,
+                                 tag_col=tag_col, child_tag_cols=child_tags)
             compiler = self._compiler()
             parts = compiler.compile_parts(node, value)
-            return parts, compiler.preprojections, child_specs
+            return parts, compiler.preprojections, child_specs, tag_specs
 
-        parts, preprojections, child_specs = self._cached_compile(
+        parts, preprojections, child_specs, tag_specs = self._cached_compile(
             ("variant", variant_col), schema, store, build)
         # pre-project the root object-map cast once (manual CSE)
         df = df.withColumn(obj_col, F.expr(
             f"try_variant_get({variant_col}, '$', 'map<string,variant>')"))
-        drop_cols = [obj_col]
+        df = df.withColumn(tag_col, F.expr(
+            f"schema_of_variant({variant_col})"))
+        drop_cols = [obj_col, tag_col]
         for key, col in child_specs:
             df = df.withColumn(col, F.expr(
                 f"try_variant_get(element_at({obj_col}, {sql_str(key)}), "
                 f"'$', 'map<string,variant>')"))
+            drop_cols.append(col)
+        for key, col in tag_specs:
+            df = df.withColumn(col, F.expr(
+                f"schema_of_variant(element_at({obj_col}, {sql_str(key)}))"))
             drop_cols.append(col)
         result = self._annotate(df, parts, id_cols, verdict_only=verdict_only,
                                 fail_fast=fail_fast,
