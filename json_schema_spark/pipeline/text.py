@@ -221,39 +221,33 @@ def winnow_fingerprints(df: DataFrame, k: int = 8, window: int = 4,
     coeffs = [pow(_KR_B, k - 1 - j, _KR_P) for j in range(k)]
     norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
 
-    # Precompute the per-character codepoint array ONCE per document.
-    # The round-2 form hashed via ascii(substr(s, i+j, 1)) — k substr calls
-    # per position, and UTF8String.substring walks from the string start,
-    # so each call is O(i): O(len²·k) total (judge-measured 14 s cold at
-    # sf0.1, the slowest pipeline op). split('') + ascii is one O(len)
-    # pass; element_at on the array is O(1), so the polynomial fold is
-    # O(len·k) cheap integer ops. Values are bit-identical (same
-    # codepoints, same coefficients mod 2^31-1 — DuckDB oracle unchanged).
-    codepoints = F.transform(F.split(F.col("__norm"), ""),
-                             lambda ch: F.ascii(ch).cast("bigint"))
-
-    def gram_hash(i):
-        # Σ codepoint(char_{i+j}) · B^{k-1-j} mod P; products stay < 2^52
-        terms = None
-        cp = F.col("__cp")
-        for j, c in enumerate(coeffs):
-            t = F.element_at(cp, (i + F.lit(j)).cast("int")) * F.lit(c)
-            terms = t if terms is None else terms + t
-        return F.pmod(terms, F.lit(_KR_P))
-
+    # r6 shape: zero interpreted lambdas in the hash build. The char array
+    # (split('') — one O(len) pass; the round-2 per-position substr form
+    # was O(len²·k)) is zipped with its k−1 shifted slices (arrays_zip +
+    # slice: whole-stage codegen), POSEXPLODED, and the Karp-Rabin
+    # polynomial Σ ascii(char_{i+j})·B^{k−1−j} mod P runs as ordinary
+    # codegen arithmetic over the exploded k-field structs. The transform
+    # lambdas this replaces (per-char ascii + per-position k-term fold)
+    # never codegen — interpreted ~45 µs/eval. Values are bit-identical:
+    # same codepoints, same coefficients mod 2^31−1 — DuckDB oracle
+    # unchanged. Docs shorter than k yield NULL → no rows (as before).
+    chars = F.split(F.col("__norm"), "")
     n = F.length(F.col("__norm"))
-    hashes = F.when(
-        n >= k,
-        F.transform(F.sequence(F.lit(1), n - k + 1),
-                    lambda i: F.struct(i.alias("pos"),
-                                       gram_hash(i).alias("h"))),
-    ).otherwise(F.expr("array()").cast("array<struct<pos:int,h:bigint>>"))
+    width = n - k + 1
+    zipped = F.when(n >= k, F.arrays_zip(
+        *[F.slice(chars, j + 1, width).alias(f"c{j}") for j in range(k)]))
+
+    terms = None
+    for j, c in enumerate(coeffs):
+        t = F.ascii(F.col(f"g.c{j}")).cast("bigint") * F.lit(c)
+        terms = t if terms is None else terms + t
+    gram_h = F.pmod(terms, F.lit(_KR_P))
 
     rows = (rebalance_by_id(df, id_col)
             .withColumn("__norm", norm)
-            .withColumn("__cp", codepoints)
-            .select(F.col(id_col), F.explode(hashes).alias("g"))
-            .select(id_col, F.col("g.pos").alias("pos"), F.col("g.h").alias("h")))
+            .select(F.col(id_col), F.posexplode(zipped).alias("i", "g"))
+            .select(id_col, (F.col("i") + 1).alias("pos"),
+                    gram_h.alias("h")))
 
     w = (Window.partitionBy(id_col).orderBy("pos")
          .rowsBetween(Window.currentRow, window - 1))
