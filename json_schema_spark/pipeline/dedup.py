@@ -327,10 +327,13 @@ def duplicate_clusters(pairs: DataFrame, id_a: str = "id_a",
     the caller owns deleting ``checkpoint_dir`` after the job.
 
     Convergence is detected from a ``__changed`` flag computed INSIDE the
-    round's own select (label != previous label), so the per-round check is
-    a filter-limit-count over the already-materialized O(V) checkpoint —
-    no extra join, no recompute (r3 VERDICT "What's wrong" #2b measured the
-    old separate-join check dominating the per-round fixed cost).
+    round's own select (label != previous label); with localCheckpoint the
+    round's checkpoint is LAZY and the full-scan changed-count aggregate
+    both materializes it and detects convergence in ONE job per round —
+    no extra join, no recompute, no separate materialization job (r3
+    VERDICT "What's wrong" #2b measured the old separate-join check
+    dominating the per-round fixed cost; r6 fused the remaining
+    materialize+count pair).
 
     Exiting via ``max_iterations`` without convergence means some component
     wider than the budget is only PARTIALLY merged — silently returning it
@@ -343,8 +346,14 @@ def duplicate_clusters(pairs: DataFrame, id_a: str = "id_a",
     if checkpoint_dir is not None:
         pairs.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
         _ckpt = lambda df: df.checkpoint()  # reliable, survives executor loss
+        _round_ckpt = _ckpt  # reliable path stays eager (storage write)
     else:
         _ckpt = lambda df: df.localCheckpoint()
+        # per-round labels: LAZY local checkpoint — the convergence
+        # aggregate below touches every partition, so one job both
+        # materializes the checkpoint blocks and returns the changed
+        # count (the eager form paid a separate job per round for each)
+        _round_ckpt = lambda df: df.localCheckpoint(eager=False)
     # both edge directions from ONE pass over the pair pipeline: the old
     # union(select(a,b), select(b,a)) re-ran the entire upstream pair
     # computation (shingle self-join / cosine re-rank — the expensive part
@@ -399,11 +408,17 @@ def duplicate_clusters(pairs: DataFrame, id_a: str = "id_a",
                 final = F.coalesce(F.col("__lmin"), F.col("__min"))
                 upd = (upd.join(lab2, upd["__min"] == lab2["__lid"], "left")
                        .select("id", F.col("__old"), final.alias("__min")))
-            new_labels = _ckpt(
+            new_labels = _round_ckpt(
                 upd.select("id", F.col("__min").alias("label"),
                            (F.col("__min") != F.col("__old"))
                            .alias("__changed")))
-            changed = new_labels.where(F.col("__changed")).limit(1).count()
+            # full-scan aggregate, NOT limit(1).count(): limit can skip
+            # partitions, which would leave a lazy local checkpoint only
+            # partially materialized (truncated lineage cannot recompute
+            # the rest); the sum touches every partition, so this one job
+            # materializes the round AND detects convergence
+            changed = int(new_labels.agg(
+                F.sum(F.col("__changed").cast("int"))).collect()[0][0] or 0)
             labels = new_labels
             if changed == 0:
                 break
