@@ -139,7 +139,8 @@ class VariantValue(Value):
     def __init__(self, expr: str, in_lambda: bool = False,
                  object_map_col: str = None, lam_ctx=None,
                  child_map_cols=None, tag_col: str = None,
-                 child_tag_cols=None):
+                 child_tag_cols=None, arr_col: str = None,
+                 child_arr_cols=None, child_value_cols=None):
         # SQL scalar functions cannot be invoked on lambda variables (the
         # inlined Project loses resolution), so values rooted at a
         # higher-order-function variable inline their render bodies instead.
@@ -164,6 +165,12 @@ class VariantValue(Value):
         # root / of element_at(root map, key), evaluated once per row.
         self.tag_col = tag_col
         self.child_tag_cols = child_tag_cols or {}
+        # and for the array<variant> cast (items/min/maxItems/uniqueItems
+        # each re-derived it) and the raw child variant itself (shrinks
+        # every use site, incl. analysis-inlined render bodies)
+        self.arr_col = arr_col
+        self.child_arr_cols = child_arr_cols or {}
+        self.child_value_cols = child_value_cols or {}
 
     def _tag(self) -> str:
         if self.tag_col:
@@ -209,6 +216,8 @@ class VariantValue(Value):
         return fn("try_variant_get", self.expr, "'$'", "'decimal(38,12)'")
 
     def array_elements(self) -> str:
+        if self.arr_col:
+            return self.arr_col
         return fn("try_variant_get", self.expr, "'$'", "'array<variant>'")
 
     def wrap_element(self, elem_expr: str) -> "VariantValue":
@@ -226,13 +235,17 @@ class VariantValue(Value):
         return f"coalesce(map_contains_key({self.object_map()}, {sql_str(key)}), false)"
 
     def get_property(self, key: str) -> "VariantValue":
-        return VariantValue(fn("element_at", self.object_map(), sql_str(key)),
+        expr = (self.child_value_cols.get(key)
+                or fn("element_at", self.object_map(), sql_str(key)))
+        return VariantValue(expr,
                             in_lambda=self.in_lambda, lam_ctx=self.lam_ctx,
                             object_map_col=self.child_map_cols.get(key),
-                            tag_col=self.child_tag_cols.get(key))
+                            tag_col=self.child_tag_cols.get(key),
+                            arr_col=self.child_arr_cols.get(key))
 
     def truthy_property(self, key: str) -> str:
-        v = fn("element_at", self.object_map(), sql_str(key))
+        v = (self.child_value_cols.get(key)
+             or fn("element_at", self.object_map(), sql_str(key)))
         t = self.child_tag_cols.get(key) or fn("schema_of_variant", v)
         return (f"coalesce({self.has_property(key)} AND ({t} <> 'VOID') AND "
                 f"(({t} <> 'BOOLEAN') OR try_variant_get({v}, '$', 'boolean')), false)")

@@ -186,7 +186,7 @@ class ValidationEngine:
     # contents can change without the key changing.
     _COMPILE_CACHE: "OrderedDict[tuple, tuple]" = OrderedDict()
     _COMPILE_CACHE_MAX = 64
-    _DISK_CACHE_FMT = 2  # bump on any change to the serialized shape
+    _DISK_CACHE_FMT = 3  # bump on any change to the serialized shape
 
     def _cached_compile(self, mode_key: tuple, schema, store, build):
         # an EMPTY document store is inert (external $refs fail identically
@@ -350,53 +350,62 @@ class ValidationEngine:
 
         def build():
             node = compile_schema(schema, store)
-            # extend the CSE one level down: a nested object subschema
-            # touches its own map once per sub-keyword, and with codegen
-            # subexpression elimination disabled each occurrence would
-            # re-cast the variant — pre-project the nested map when the
-            # subschema makes 2+ accesses
-            child_specs = []
-            child_maps = {}
-            for key, sub in (node.properties or {}).items():
+            # Manual-CSE pre-projections, one level down from the root (r6
+            # widened; codegen subexpression elimination is disabled — see
+            # __init__ — so every textual repeat is a per-row re-eval and a
+            # serialized-plan-size multiplier). Per property subschema:
+            # - pv: the raw child variant (element_at of the root map) —
+            #   shrinks EVERY use site, including the analysis-inlined
+            #   jss_to_s/jss_inspect render bodies;
+            # - tag: schema_of_variant(pv) — every keyword's type dispatch
+            #   reads it (up to 4x per test), and it walks the subtree;
+            # - arr: the array<variant> cast of pv — items/min/maxItems/
+            #   uniqueItems re-derived it per use;
+            # - map: the map<string,variant> cast for nested-object
+            #   subschemas with 2+ object accesses.
+            # Unreferenced columns are pruned by Catalyst, so speculative
+            # pre-projection is free; all casts are try_/null-safe, so
+            # evaluating them unconditionally cannot introduce errors.
+            prop_specs = []
+            for i, (key, sub) in enumerate((node.properties or {}).items()):
+                map_col = None
                 if isinstance(sub, SchemaNode) and _object_accesses(sub) >= 2:
-                    col = f"__jss_omap_{len(child_maps)}"
-                    child_specs.append((key, col))
-                    child_maps[key] = col
-            # TYPE-TAG CSE (r6): schema_of_variant walks its whole subtree
-            # per call and every keyword's type dispatch references the tag
-            # (up to 4x per test) — pre-project the root tag and one tag per
-            # property subtree, evaluated once per row. Unreferenced tag
-            # columns are pruned by Catalyst, so one per property is free.
-            tag_specs = []
-            child_tags = {}
-            for key in (node.properties or {}):
-                col = f"__jss_vtag_{len(tag_specs)}"
-                tag_specs.append((key, col))
-                child_tags[key] = col
-            value = VariantValue(variant_col, object_map_col=obj_col,
-                                 child_map_cols=child_maps,
-                                 tag_col=tag_col, child_tag_cols=child_tags)
+                    map_col = f"__jss_omap_{i}"
+                prop_specs.append((key, f"__jss_pv_{i}", f"__jss_vtag_{i}",
+                                   f"__jss_varr_{i}", map_col))
+            value = VariantValue(
+                variant_col, object_map_col=obj_col, tag_col=tag_col,
+                child_value_cols={k: pv for k, pv, _, _, _ in prop_specs},
+                child_tag_cols={k: tg for k, _, tg, _, _ in prop_specs},
+                child_arr_cols={k: ar for k, _, _, ar, _ in prop_specs},
+                child_map_cols={k: mp for k, _, _, _, mp in prop_specs
+                                if mp is not None})
             compiler = self._compiler()
             parts = compiler.compile_parts(node, value)
-            return parts, compiler.preprojections, child_specs, tag_specs
+            return parts, compiler.preprojections, prop_specs
 
-        parts, preprojections, child_specs, tag_specs = self._cached_compile(
+        parts, preprojections, prop_specs = self._cached_compile(
             ("variant", variant_col), schema, store, build)
-        # pre-project the root object-map cast once (manual CSE)
-        df = df.withColumn(obj_col, F.expr(
-            f"try_variant_get({variant_col}, '$', 'map<string,variant>')"))
-        df = df.withColumn(tag_col, F.expr(
-            f"schema_of_variant({variant_col})"))
+        # pre-project the root object-map cast + root tag once (manual CSE)
+        df = df.withColumns({
+            obj_col: F.expr(f"try_variant_get({variant_col}, '$', "
+                            f"'map<string,variant>')"),
+            tag_col: F.expr(f"schema_of_variant({variant_col})"),
+        })
         drop_cols = [obj_col, tag_col]
-        for key, col in child_specs:
-            df = df.withColumn(col, F.expr(
-                f"try_variant_get(element_at({obj_col}, {sql_str(key)}), "
-                f"'$', 'map<string,variant>')"))
-            drop_cols.append(col)
-        for key, col in tag_specs:
-            df = df.withColumn(col, F.expr(
-                f"schema_of_variant(element_at({obj_col}, {sql_str(key)}))"))
-            drop_cols.append(col)
+        if prop_specs:
+            pv_exprs, derived = {}, {}
+            for key, pv, tg, ar, mp in prop_specs:
+                pv_exprs[pv] = F.expr(
+                    f"element_at({obj_col}, {sql_str(key)})")
+                derived[tg] = F.expr(f"schema_of_variant({pv})")
+                derived[ar] = F.expr(
+                    f"try_variant_get({pv}, '$', 'array<variant>')")
+                if mp is not None:
+                    derived[mp] = F.expr(
+                        f"try_variant_get({pv}, '$', 'map<string,variant>')")
+                drop_cols.extend([pv, tg, ar] + ([mp] if mp else []))
+            df = df.withColumns(pv_exprs).withColumns(derived)
         result = self._annotate(df, parts, id_cols, verdict_only=verdict_only,
                                 fail_fast=fail_fast,
                                 preprojections=preprojections)
