@@ -75,16 +75,20 @@ def run(names, plans_dir=None, suffix="before"):
     spark.stop()
 
 
+def _flag_value(flag):
+    if flag not in sys.argv:
+        return None
+    idx = sys.argv.index(flag) + 1
+    if idx >= len(sys.argv):
+        sys.exit(f"bench_extra: {flag} needs a value\n{__doc__}")
+    return sys.argv[idx]
+
+
 if __name__ == "__main__":
-    names = None
-    if "--all" in sys.argv:
-        names = B.BENCH_QUERIES
-    if "--queries" in sys.argv:
-        names = sys.argv[sys.argv.index("--queries") + 1].split(",")
-    plans_dir = None
-    if "--plans-dir" in sys.argv:
-        plans_dir = sys.argv[sys.argv.index("--plans-dir") + 1]
-    suffix = "before"
-    if "--suffix" in sys.argv:
-        suffix = sys.argv[sys.argv.index("--suffix") + 1]
-    run(names, plans_dir, suffix)
+    names = B.BENCH_QUERIES if "--all" in sys.argv else None
+    qarg = _flag_value("--queries")
+    if qarg:
+        names = qarg.split(",")
+    if not names:
+        sys.exit(f"bench_extra: pass --all or --queries a,b,c\n{__doc__}")
+    run(names, _flag_value("--plans-dir"), _flag_value("--suffix") or "before")

@@ -375,7 +375,11 @@ def duplicate_clusters(pairs: DataFrame, id_a: str = "id_a",
     # partitions at 100-TB E. ~2M edges per partition keeps a round's task
     # under ~100 MB of shuffle input at any scale. The count() replaces the
     # lazy materialization the first round's checkpoint would have run —
-    # same work, now yielding the sizing signal.
+    # same work, now yielding the sizing signal. NOTE: the setting is
+    # SESSION-scoped — queries planned CONCURRENTLY on the same
+    # SparkSession during the loop would inherit the clustering-sized
+    # partition count; run this operator from the thread that owns the
+    # session (all repo callers do), or on a dedicated session.
     n_edges = edges.count()
     spark = pairs.sparkSession
     round_parts = max(1, min((n_edges + 1_999_999) // 2_000_000,
@@ -412,13 +416,20 @@ def duplicate_clusters(pairs: DataFrame, id_a: str = "id_a",
                 upd.select("id", F.col("__min").alias("label"),
                            (F.col("__min") != F.col("__old"))
                            .alias("__changed")))
-            # full-scan aggregate, NOT limit(1).count(): limit can skip
-            # partitions, which would leave a lazy local checkpoint only
-            # partially materialized (truncated lineage cannot recompute
-            # the rest); the sum touches every partition, so this one job
-            # materializes the round AND detects convergence
-            changed = int(new_labels.agg(
-                F.sum(F.col("__changed").cast("int"))).collect()[0][0] or 0)
+            if checkpoint_dir is not None:
+                # reliable path: the eager checkpoint already materialized
+                # the round — the cheap short-circuiting check suffices
+                changed = new_labels.where(F.col("__changed")).limit(1).count()
+            else:
+                # full-scan aggregate, NOT limit(1).count(): limit can skip
+                # partitions, which would leave the LAZY local checkpoint
+                # only partially materialized (truncated lineage cannot
+                # recompute the rest); the sum touches every partition, so
+                # this one job materializes the round AND detects
+                # convergence
+                changed = int(new_labels.agg(
+                    F.sum(F.col("__changed").cast("int"))).collect()[0][0]
+                    or 0)
             labels = new_labels
             if changed == 0:
                 break

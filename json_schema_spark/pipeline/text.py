@@ -281,11 +281,14 @@ def ngram_structs(col: Column, n: int = 3) -> Column:
 
 
 def ngrams(col: Column, n: int = 3) -> Column:
-    """ALL word n-grams of a document, duplicates included —
-    ``dedup.shingles`` is the distinct variant for set-similarity; this
-    one feeds repetition metrics, where multiplicity IS the signal. Short
-    documents (< n tokens) yield an empty array (same guard rationale as
-    shingles: sequence() counts down into negatives otherwise)."""
+    """ALL word n-grams as joined strings, duplicates included — the
+    STRING-FORM REFERENCE implementation (it mirrors the DuckDB oracles'
+    string_agg shape one-to-one). Execution paths use
+    :func:`ngram_structs` instead: this form builds each gram inside a
+    ``transform`` lambda, which never enters codegen (~45 µs/eval).
+    Short documents (< n tokens) yield an empty array (same guard
+    rationale as shingles: sequence() counts down into negatives
+    otherwise)."""
     toks = tokens(col)
     return F.when(
         F.size(toks) >= n,
@@ -690,7 +693,16 @@ def _bpe_safe_batch(rows, applied_tokens, limit):
        could GAIN count mid-batch and overtake later batch members.
        With brand-new concatenations, every pair that gains count is a
        new pair (x, t) whose count is bounded by an old pair sharing an
-       endpoint with a batch member — an excluded pair.
+       endpoint with a batch member — an excluded pair — EXCEPT when the
+       member is a SELF-PAIR (lhs == rhs, see 2b).
+    2b. A self-pair (c, c) TERMINATES its batch: applying it over runs
+       of c spawns (cc, cc) and (cc, c) whose counts are bounded only by
+       the member's OWN count (the 'source' adjacency is the member
+       itself, not an excluded pair), so they may outrank any later
+       batch member. As the last member it is safe — the next round
+       recomputes counts from the updated table. (Found by an
+       adversarial review: corpus 'bbbbbb'×5... gave batched (a,a)
+       before (bb,bb) where sequential orders them the other way.)
     3. STRICT count drop at the cut: the last selected count must exceed
        the first excluded pair's count (old pairs only lose count and new
        pairs are bounded by excluded-pair counts, so everything outside
@@ -712,6 +724,8 @@ def _bpe_safe_batch(rows, applied_tokens, limit):
         batch.append((lhs, rhs, cnt))
         used.update((lhs, rhs))
         new_ts.add(lhs + rhs)
+        if lhs == rhs:  # condition 2b: self-pair closes the batch
+            break
     # strictness at the cut (condition 3): only needed when pairs remain
     while len(batch) > 1 and len(batch) < len(rows) \
             and rows[len(batch)][2] >= batch[-1][2]:

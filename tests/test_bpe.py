@@ -233,6 +233,13 @@ def test_bpe_batched_rounds_equal_sequential(spark, monkeypatch):
         ["ab ab cd cd ef ef gh gh", "ij ij kl kl mn mn op op"],
         # self-overlap + recreated tokens
         ["aaaa bbbb aaaa", "aabb bbaa abab", "aaab bbba"],
+        # SELF-PAIR hazard (review repro): merging (b,b) spawns (bb,bb)
+        # with count derived from (b,b)'s own sites — it must not be
+        # batched ahead of later members it can overtake
+        ["bbbbbb bbbbbb bbbbbb bbbbbb bbbbbb", "abb abb abb abb abb",
+         "baa baa baa baa baa", "aa aa babb"],
+        # dense run corpus: every top pair is a self-pair
+        ["cccccccc dddd cccc dddddddd", "cc dd cccc dddd"],
     ]
     rng = random.Random(7)
     letters = "abcde"
@@ -250,3 +257,82 @@ def test_bpe_batched_rounds_equal_sequential(spark, monkeypatch):
             seq = [tuple(r) for r in
                    text.bpe_train(d, n_merges=12).collect()]
         assert batched == seq, texts
+
+
+def test_bpe_safe_batch_property_sweep_pure_python():
+    """No-Spark property check of _bpe_safe_batch: simulate BPE training
+    driver-side over thousands of random tiny corpora and assert the
+    batched selection reproduces one-merge-per-round training exactly.
+    This is the net that caught the self-pair hazard (condition 2b)."""
+    import random
+    from collections import Counter
+
+    def word_counts(texts):
+        c = Counter()
+        for t in texts:
+            for w in t.split():
+                c[w] += 1
+        return {w: (n, list(w)) for w, (n,) in
+                ((w, (n,)) for w, n in c.items())}
+
+    def pair_counts(vocab):
+        pc = Counter()
+        for n, st in vocab.values():
+            for a, b in zip(st, st[1:]):
+                pc[(a, b)] += n
+        return pc
+
+    def apply_merge(vocab, px, py):
+        out = {}
+        for w, (n, st) in vocab.items():
+            res = []
+            for t in st:
+                if res and res[-1] == px and t == py:
+                    res[-1] = px + py
+                else:
+                    res.append(t)
+            out[w] = (n, res)
+        return out
+
+    def ordered(pc):
+        return sorted(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+
+    def train_seq(vocab, n_merges):
+        merges = []
+        for _ in range(n_merges):
+            pc = pair_counts(vocab)
+            if not pc:
+                break
+            (a, b), cnt = ordered(pc)[0]
+            merges.append((a, b, cnt))
+            vocab = apply_merge(vocab, a, b)
+        return merges
+
+    def train_batched(vocab, n_merges):
+        merges, applied = [], set()
+        while len(merges) < n_merges:
+            pc = pair_counts(vocab)
+            if not pc:
+                break
+            remaining = n_merges - len(merges)
+            k = remaining + 8
+            rows = [(a, b, cnt) for (a, b), cnt in ordered(pc)[:k]]
+            limit = remaining if len(rows) < k else min(remaining, k - 1)
+            batch = text._bpe_safe_batch(rows, applied, limit)
+            for a, b, cnt in batch:
+                merges.append((a, b, cnt))
+                applied.add(a + b)
+                vocab = apply_merge(vocab, a, b)
+        return merges
+
+    rng = random.Random(99)
+    for trial in range(4000):
+        letters = "abcd"[:rng.randint(2, 4)]
+        texts = [" ".join("".join(rng.choice(letters)
+                                  for _ in range(rng.randint(1, 7)))
+                          for _ in range(rng.randint(2, 10)))
+                 for _ in range(rng.randint(1, 4))]
+        vocab = word_counts(texts)
+        n = rng.randint(1, 10)
+        assert train_batched(dict(vocab), n) == train_seq(dict(vocab), n), \
+            (trial, texts, n)
